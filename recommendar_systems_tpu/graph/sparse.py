@@ -1,0 +1,115 @@
+"""Static-shape sparse graph containers and SpMM.
+
+The reference does all graph propagation through `torch.sparse.mm` over COO
+tensors built from scipy (`/root/reference/src/models/lightgcn.py:117-130`,
+`smore.py:289-318`) or through torch-geometric scatter/gather message
+passing.  On TPU both collapse onto two static-shape primitives:
+
+- ``COO``: sorted-by-row coordinate lists; SpMM = gather rows of the dense
+  operand by column index, scale by edge value, and ``segment_sum`` into
+  destination rows (`jax.ops.segment_sum` with ``indices_are_sorted`` lowers
+  to an efficient XLA scatter-add).
+- ``ELL``: fixed-degree neighbor lists ``[n, k]`` (exact fit for kNN modality
+  graphs where every row has exactly ``k`` neighbors); SpMM = batched gather
+  + weighted sum, which XLA fuses into a single pass.
+
+Both are registered pytrees so they can be closed over or passed through
+``jit`` boundaries, and padding entries are encoded as zero-valued edges so
+shapes never depend on data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class COO:
+    """Row-sorted COO sparse matrix with static nnz (padding via zero vals)."""
+
+    rows: jnp.ndarray  # [nnz] int32, sorted ascending
+    cols: jnp.ndarray  # [nnz] int32
+    vals: jnp.ndarray  # [nnz] float32 (0 for padding entries)
+    n_rows: int
+    n_cols: int
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), (self.n_rows, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rows, cols, vals = children
+        return cls(rows, cols, vals, aux[0], aux[1])
+
+    @property
+    def nnz(self) -> int:
+        return int(self.rows.shape[0])
+
+    def with_values(self, vals: jnp.ndarray) -> "COO":
+        return COO(self.rows, self.cols, vals, self.n_rows, self.n_cols)
+
+    def transpose_unsorted(self) -> "COO":
+        """Transpose without re-sorting (segment_sum still correct, slower)."""
+        return COO(self.cols, self.rows, self.vals, self.n_cols, self.n_rows)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ELL:
+    """Fixed-degree adjacency: each row has exactly ``k`` (possibly zero-
+    weighted) neighbors.  Natural format for kNN item-item graphs
+    (reference builds these densely at `utils.py:171-184`)."""
+
+    idx: jnp.ndarray  # [n, k] int32 neighbor ids
+    val: jnp.ndarray  # [n, k] float32 edge weights
+    n_cols: int
+
+    def tree_flatten(self):
+        return (self.idx, self.val), (self.n_cols,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def n_rows(self) -> int:
+        return int(self.idx.shape[0])
+
+    @property
+    def k(self) -> int:
+        return int(self.idx.shape[1])
+
+    def with_values(self, val: jnp.ndarray) -> "ELL":
+        return ELL(self.idx, val, self.n_cols)
+
+
+def spmm_coo(adj: COO, x: jnp.ndarray, sorted_rows: bool = True) -> jnp.ndarray:
+    """``adj @ x`` for a row-sorted COO adjacency.
+
+    Replaces `torch.sparse.mm` (reference `lightgcn.py:121-123`).
+    """
+    gathered = x[adj.cols] * adj.vals[:, None]
+    return jax.ops.segment_sum(
+        gathered,
+        adj.rows,
+        num_segments=adj.n_rows,
+        indices_are_sorted=sorted_rows,
+    )
+
+
+def spmm_ell(adj: ELL, x: jnp.ndarray) -> jnp.ndarray:
+    """``adj @ x`` for a fixed-degree adjacency: gather + weighted sum."""
+    neigh = x[adj.idx]  # [n, k, d]
+    return jnp.einsum("nk,nkd->nd", adj.val, neigh)
+
+
+def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(adj, COO):
+        return spmm_coo(adj, x)
+    if isinstance(adj, ELL):
+        return spmm_ell(adj, x)
+    raise TypeError(f"unsupported adjacency type {type(adj)}")

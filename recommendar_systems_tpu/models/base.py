@@ -1,0 +1,69 @@
+"""Model contract for the TPU engine.
+
+The reference contract (`/root/reference/src/common/abstract_recommender.py`)
+is ``calculate_loss(interaction) -> scalar`` plus ``full_sort_predict ->
+[B, n_items]`` with optional per-epoch hooks.  Here every model is a pure
+flax module; all non-trainable state (normalized adjacencies, frozen modality
+features, per-epoch dropout masks) lives in an explicit ``ctx`` pytree passed
+to each method so the jitted trainer can thread, shard, and mutate it without
+recompilation:
+
+- ``loss(ctx, batch, train)`` -> ``(total_loss, parts_dict)``
+- ``full_scores(ctx, users)`` -> ``[B, n_items]``
+- ``build_ctx(config, data)``  (classmethod, host-side, one-time)
+- ``pre_epoch(ctx, rng, config)`` (classmethod, jit-compatible): per-epoch
+  graph mutation — the counterpart of ``pre_epoch_processing``
+  (`abstract_recommender.py:13-17`), returning a ctx with the same pytree
+  structure (static shapes; dropped edges become zero-valued).
+
+``batch`` is a dict with ``users``, ``pos_items``, ``neg_items`` (absent for
+no-negative-sampling models) and ``weight`` (1 for real rows, 0 for the
+padding that replaces the reference's smaller final batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class RecModel(nn.Module):
+    """Base class: subclasses are flax modules with static hyperparameters."""
+
+    def loss(self, ctx: Dict[str, Any], batch: Dict[str, jnp.ndarray], train: bool = True):
+        raise NotImplementedError
+
+    def full_scores(self, ctx: Dict[str, Any], users: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # -- host-side construction --------------------------------------------
+    @classmethod
+    def from_config(cls, config, data) -> "RecModel":
+        raise NotImplementedError
+
+    @classmethod
+    def build_ctx(cls, config, data) -> Dict[str, Any]:
+        """Build the non-trainable context (graphs, features). Host-side."""
+        return {}
+
+    # -- per-epoch hooks (jit-compatible, optional) ------------------------
+    has_pre_epoch: bool = False
+
+    @classmethod
+    def pre_epoch(cls, ctx: Dict[str, Any], rng: jax.Array, config: Dict[str, Any]):
+        return ctx
+
+
+def concat_modal_features(data) -> jnp.ndarray:
+    """Item raw features: concat(t, v) when both exist (reference
+    `vbpr.py:33-39` concatenates text then vision)."""
+    if data.v_feat is not None and data.t_feat is not None:
+        return jnp.concatenate([data.t_feat, data.v_feat], axis=-1)
+    if data.v_feat is not None:
+        return data.v_feat
+    if data.t_feat is not None:
+        return data.t_feat
+    raise ValueError("dataset has no modality features")

@@ -1,0 +1,69 @@
+"""Shared building blocks: initializers and graph propagation.
+
+``lightgcn_propagate`` is the K-layer linear propagation + layer mean used by
+the whole graph-model family (reference `lightgcn.py:117-130`,
+`encoders.py:93-115`): repeated SpMM over the normalized adjacency with the
+layer stack averaged.  It is expressed with ``lax.scan``-free Python
+unrolling because K is a small static config value; XLA fuses the gathers.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from recommendar_systems_tpu.graph.sparse import spmm
+
+# torch xavier on an [n, d] tensor == glorot on (n, d): std^2 = 2/(n+d)
+xavier_normal = nn.initializers.glorot_normal()
+xavier_uniform = nn.initializers.glorot_uniform()
+
+
+class Dense(nn.Dense):
+    """nn.Dense with torch-Linear-style xavier-normal kernel + zero bias
+    (reference `init.py:8-24`)."""
+
+    kernel_init: nn.initializers.Initializer = xavier_normal
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+
+def lightgcn_propagate(
+    adj,
+    ego: jnp.ndarray,
+    n_layers: int,
+    mean_layers: bool = True,
+    include_ego: bool = True,
+) -> jnp.ndarray:
+    """K-layer LightGCN propagation; returns the layer mean (or sum).
+
+    Args:
+        adj: COO/ELL normalized adjacency over the node axis of ``ego``.
+        ego: [N, d] input embeddings.
+        n_layers: number of propagation layers K (static).
+        mean_layers: True => mean over [ego, h1..hK] (LightGCN); False => sum.
+        include_ego: include the 0-th (ego) layer in the pooling.
+    """
+    layers: List[jnp.ndarray] = [ego] if include_ego else []
+    h = ego
+    for _ in range(n_layers):
+        h = spmm(adj, h)
+        layers.append(h)
+    stack = jnp.stack(layers, axis=1)
+    return stack.mean(axis=1) if mean_layers else stack.sum(axis=1)
+
+
+def propagate_layers(adj, ego: jnp.ndarray, n_layers: int) -> List[jnp.ndarray]:
+    """All intermediate layers [ego, h1, ..., hK] for models that post-process
+    the per-layer stack (LayerGCN's layer refinement, SLMRec, etc.)."""
+    layers = [ego]
+    h = ego
+    for _ in range(n_layers):
+        h = spmm(adj, h)
+        layers.append(h)
+    return layers
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)

@@ -1,0 +1,132 @@
+"""Experiment driver (reference `/root/reference/src/utils/quick_start.py`).
+
+Merges configs, builds the dataset/device buffers once, then runs an
+exhaustive grid search over the cartesian product of the list-valued
+``hyper_parameters`` axes (`quick_start.py:54-95`) — re-seeding and
+rebuilding the model per combination and tracking best-valid /
+test-at-best-valid across combinations.
+"""
+
+from __future__ import annotations
+
+import itertools
+from logging import getLogger
+from typing import Any, Dict, Optional, Tuple
+
+from recommendar_systems_tpu.data.arrays import build_data_bundle
+from recommendar_systems_tpu.data.dataset import load_dataset
+from recommendar_systems_tpu.models import get_model
+from recommendar_systems_tpu.train.trainer import Trainer
+from recommendar_systems_tpu.utils.configurator import Config
+from recommendar_systems_tpu.utils.logger import init_logger
+from recommendar_systems_tpu.utils.misc import dict2str, init_seed
+
+
+def quick_start(
+    model: str,
+    dataset: str,
+    config_dict: Optional[Dict[str, Any]] = None,
+    save_model: bool = True,
+    mg: bool = False,
+) -> Dict[str, Any]:
+    config = Config(model, dataset, config_dict, mg=mg)
+    init_logger(config)
+    logger = getLogger()
+    logger.info(f"███████████ TPU engine \t███████████████")
+
+    # device selection (counterpart of reference configurator.py:114-118):
+    # config['device'] = 'cpu' forces the host platform (the axon TPU plugin
+    # ignores JAX_PLATFORMS, so use the config flag)
+    if config.get("device") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    # synthetic datasets are generated on first use (the reference ships no
+    # data at all; see data/README.md there)
+    if config.get("synthetic"):
+        import os
+
+        from recommendar_systems_tpu.data.synthetic import (
+            generate_synthetic,
+            write_dataset_files,
+        )
+
+        ds_dir = os.path.join(config["data_path"], dataset)
+        inter = os.path.join(ds_dir, config["inter_file_name"] or f"{dataset}.inter")
+        if not os.path.isfile(inter):
+            logger.info(f"generating synthetic dataset at {ds_dir}")
+            gen = generate_synthetic(
+                n_users=int(config.get("synthetic_users", 400)),
+                n_items=int(config.get("synthetic_items", 200)),
+                n_inter=int(config.get("synthetic_inters", 6000)),
+                seed=int(config.get("synthetic_seed", 0)),
+                name=dataset,
+            )
+            write_dataset_files(gen, ds_dir)
+
+    # dataset: built once for all hyperparameter combinations
+    ds = load_dataset(config)
+    logger.info(str(ds))
+    data = build_data_bundle(ds, config)
+
+    # hyperparameter grid
+    axes = config["hyper_parameters"]
+    grids = []
+    for ax in axes:
+        v = config[ax]
+        grids.append(v if isinstance(v, list) else [v])
+    combinations = list(itertools.product(*grids))
+    total = len(combinations)
+    logger.info(f"\n\n=================================\n\n")
+
+    model_cls = get_model(model)
+    best_idx = -1
+    best_valid_score = None
+    best_valid_result = best_test_upon_valid = None
+    results = []
+    for idx, combo in enumerate(combinations):
+        run_cfg = config.copy()
+        for ax, val in zip(axes, combo):
+            run_cfg[ax] = val
+        seed = int(run_cfg["seed"])
+        init_seed(seed)
+        logger.info(
+            f"========={idx + 1}/{total}: Parameters:{axes}={list(combo)}======="
+        )
+
+        m = model_cls.from_config(run_cfg, data)
+        ctx = model_cls.build_ctx(run_cfg, data)
+        trainer = Trainer(run_cfg, m, ctx, data, mg=mg)
+        trainer.init_state(seed)
+        valid_score, valid_result, test_result = trainer.fit(saved=save_model)
+        results.append((list(combo), valid_score, valid_result, test_result))
+        logger.info(f"best valid result: {dict2str(valid_result)}")
+        logger.info(f"test result: {dict2str(test_result)}")
+
+        bigger = bool(config["valid_metric_bigger"])
+        if best_valid_score is None or (
+            valid_score > best_valid_score if bigger else valid_score < best_valid_score
+        ):
+            best_valid_score = valid_score
+            best_valid_result = valid_result
+            best_test_upon_valid = test_result
+            best_idx = idx
+
+    logger.info("\n============All Over=====================")
+    for combo, vs, vr, tr in results:
+        logger.info(
+            f"Parameters: {axes}={combo},\n"
+            f"best valid: {dict2str(vr)},\nbest test: {dict2str(tr)}\n\n"
+        )
+    logger.info("\n\n█████████████ BEST ████████████████")
+    logger.info(
+        f"\tParameters: {axes}={results[best_idx][0]},"
+        f"\nValid: {dict2str(best_valid_result)},\nTest: {dict2str(best_test_upon_valid)}\n\n"
+    )
+    return {
+        "best_valid_score": best_valid_score,
+        "best_valid_result": best_valid_result,
+        "best_test_upon_valid": best_test_upon_valid,
+        "all_results": results,
+    }

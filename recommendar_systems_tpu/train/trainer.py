@@ -1,0 +1,419 @@
+"""The jitted trainer: scanned epochs, on-device sampling, MG, eval, early stop.
+
+Replaces the reference trainer (`/root/reference/src/common/trainer.py`) with
+a TPU-native design: one compiled ``train_epoch`` function runs the whole
+epoch as a ``lax.scan`` over steps — permutation, batch slicing, negative
+sampling, forward/backward, optimizer update and both Mirror-Gradient
+flavors all happen on device with static shapes.  The host loop only handles
+per-epoch learning-rate decay (`trainer.py:96-99`), NaN aborts
+(`trainer.py:201-203`), periodic evaluation, early stopping
+(`trainer.py:470-498`) and checkpointing.
+
+Mirror-Gradient parity:
+- trainer-level MG (`trainer.py:207-224`): every ``beta`` steps the update is
+  (step on ``alpha1 * loss``) followed by (step on ``-alpha2 * loss`` of the
+  same batch re-evaluated at the new parameters);
+- model-driven adaptive MG (`trainer.py:268-348`): every ``mg_interval``
+  steps after the normal update, re-grad at theta, compute
+  ``alpha_eff = clip(max(mg_alpha, target_rel*param_rms/(lr*grad_rms)))``,
+  step to the mirror point ``theta - alpha_eff*lr*g``, grad there, and apply
+  ``-mg_beta`` times that gradient at theta.  Both are fused into the scanned
+  step via ``lax.cond`` so no recompilation or host sync occurs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from logging import getLogger
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from recommendar_systems_tpu.data.arrays import DataBundle, EvalBundle
+from recommendar_systems_tpu.data.sampling import sample_negatives
+from recommendar_systems_tpu.train.state import build_optimizer, lr_schedule
+from recommendar_systems_tpu.utils.misc import dict2str, early_stopping
+from recommendar_systems_tpu.utils.topk_evaluator import TopKEvaluator
+
+
+def _tree_rms(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    sq = sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves)
+    n = sum(l.size for l in leaves)
+    return jnp.sqrt(sq / max(n, 1))
+
+
+class Trainer:
+    """Manages jitted training + evaluation for one model instance."""
+
+    def __init__(self, config, model, ctx: Dict[str, Any], data: DataBundle, mg: bool = False):
+        self.config = config
+        self.model = model
+        self.ctx = ctx
+        self.data = data
+        self.logger = getLogger()
+
+        self.epochs = int(config["epochs"])
+        self.eval_step = min(int(config["eval_step"] or 1), self.epochs)
+        self.stopping_step = int(config["stopping_step"])
+        self.valid_metric = str(config["valid_metric"]).lower()
+        self.valid_metric_bigger = bool(config["valid_metric_bigger"])
+        self.req_training = bool(config.get("req_training", True))
+        self.batch_size = int(config["train_batch_size"])
+        self.use_neg_sampling = bool(config.get("use_neg_sampling", True))
+        self.use_full_sampling = bool(config.get("use_full_sampling", False))
+        self.neg_tries = int(config.get("neg_sample_tries", 16))
+        self.max_k = max(config["topk"]) if isinstance(config["topk"], list) else int(config["topk"])
+
+        # mirror-gradient setup
+        self.mg = bool(mg)
+        self.model_mg = bool(config.get("mg_enable", False))
+        self.alpha1 = float(config.get("alpha1") or 1.0)
+        self.alpha2 = float(_first(config.get("alpha2"), 0.2))
+        self.beta = int(_first(config.get("beta"), 3))
+        self.mg_interval = int(config.get("mg_interval") or 3)
+        self.mg_alpha = float(config.get("mg_alpha") or 0.5)
+        self.mg_beta = float(config.get("mg_beta") or 0.2)
+        self.mg_target_rel = float(config.get("mg_target_rel_step") or 1e-3)
+        self.mg_alpha_max_scale = float(config.get("mg_alpha_max_scale") or 20.0)
+
+        self.tx = build_optimizer(config)
+        self.lr_fn = lr_schedule(config)
+        self.evaluator = TopKEvaluator(config)
+
+        if self.use_full_sampling:
+            self.n_samples = data.n_users
+        else:
+            self.n_samples = data.n_train
+        self.n_steps = max(1, -(-self.n_samples // self.batch_size))
+
+        self.params = None
+        self.opt_state = None
+        self.train_loss_dict: Dict[int, float] = {}
+        self.best_valid_score = -1.0
+        self.best_valid_result: Dict[str, float] = {}
+        self.best_test_upon_valid: Dict[str, float] = {}
+
+        self._train_epoch_jit = jax.jit(self._train_epoch_impl, donate_argnums=(0, 1))
+        self._eval_batch_jit = jax.jit(self._eval_batch_impl)
+        self._pre_epoch_jit = None
+        if getattr(type(model), "has_pre_epoch", False):
+            cfg_snapshot = dict(config.final_config) if hasattr(config, "final_config") else dict(config)
+            cls = type(model)
+            self._pre_epoch_jit = jax.jit(
+                lambda ctx, rng: cls.pre_epoch(ctx, rng, cfg_snapshot)
+            )
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: int) -> None:
+        key = jax.random.key(seed)
+        k_param, k_drop, self._epoch_key = jax.random.split(key, 3)
+        dummy = self._dummy_batch()
+        variables = self.model.init(
+            {"params": k_param, "dropout": k_drop, "sample": k_drop, "noise": k_drop},
+            self.ctx,
+            dummy,
+            True,
+            method="loss",
+        )
+        self.params = variables["params"]
+        self.opt_state = self.tx.init(self.params)
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(self.params))
+        self.logger.info(f"model initialized: {n_params} trainable parameters")
+
+    def _dummy_batch(self) -> Dict[str, jnp.ndarray]:
+        B = self.batch_size
+        batch = {
+            "users": jnp.zeros((B,), jnp.int32),
+            "pos_items": jnp.zeros((B,), jnp.int32),
+            "weight": jnp.ones((B,), jnp.float32),
+        }
+        if self.use_neg_sampling and not self.use_full_sampling:
+            batch["neg_items"] = jnp.zeros((B,), jnp.int32)
+        return batch
+
+    # ------------------------------------------------------- jitted epoch fn
+    def _apply_loss(self, params, ctx, batch, k_drop, train=True):
+        total, parts = self.model.apply(
+            {"params": params},
+            ctx,
+            batch,
+            train,
+            method="loss",
+            rngs={"dropout": k_drop, "sample": k_drop, "noise": k_drop},
+        )
+        return total, parts
+
+    def _one_update(self, params, opt_state, ctx, batch, k_drop, scale=1.0):
+        def loss_fn(p):
+            total, parts = self._apply_loss(p, ctx, batch, k_drop)
+            return total * scale, (total, parts)
+
+        grads, (total, parts) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, parts
+
+    def _train_epoch_impl(self, params, opt_state, ctx, rng):
+        data = self.data
+        B = self.batch_size
+        n_steps = self.n_steps
+        n = self.n_samples
+
+        k_perm, k_scan = jax.random.split(rng)
+        perm = jax.random.permutation(k_perm, n)
+        pad = n_steps * B - n
+        perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        weight_flat = jnp.concatenate(
+            [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        perm = perm.reshape(n_steps, B)
+        weight = weight_flat.reshape(n_steps, B)
+        step_ids = jnp.arange(n_steps)
+
+        def step(carry, xs):
+            params, opt_state, rng = carry
+            idx, w, step_id = xs
+            rng, k_neg, k_drop, k_drop2, k_drop3 = jax.random.split(rng, 5)
+            if self.use_full_sampling:
+                # permutation runs over user ids directly
+                users = idx.astype(jnp.int32)
+                batch = {"users": users, "weight": w}
+            else:
+                users = data.train_users[idx]
+                pos = data.train_items[idx]
+                batch = {"users": users, "pos_items": pos, "weight": w}
+                if self.use_neg_sampling:
+                    batch["neg_items"] = sample_negatives(
+                        k_neg, users, data.n_items, data.pos_indptr,
+                        data.pos_items, n_tries=self.neg_tries,
+                    )
+
+            lr = opt_state.hyperparams["learning_rate"]
+
+            if self.mg and not self.model_mg:
+                # trainer-level MG (reference trainer.py:207-224)
+                def mg_branch(args):
+                    params, opt_state = args
+                    p1, o1, total, parts = self._one_update(
+                        params, opt_state, ctx, batch, k_drop, scale=self.alpha1
+                    )
+                    p2, o2, _, _ = self._one_update(
+                        p1, o1, ctx, batch, k_drop2, scale=-self.alpha2
+                    )
+                    return p2, o2, total, parts
+
+                def normal_branch(args):
+                    params, opt_state = args
+                    return self._one_update(params, opt_state, ctx, batch, k_drop)
+
+                params, opt_state, total, parts = jax.lax.cond(
+                    step_id % self.beta == 0, mg_branch, normal_branch,
+                    (params, opt_state),
+                )
+            else:
+                params, opt_state, total, parts = self._one_update(
+                    params, opt_state, ctx, batch, k_drop
+                )
+
+            if self.model_mg:
+                # model-driven adaptive MG (reference trainer.py:268-348)
+                def mirror(args):
+                    params, opt_state = args
+                    grads, _ = jax.grad(
+                        lambda p: self._apply_loss(p, ctx, batch, k_drop2),
+                        has_aux=True,
+                    )(params)
+                    grad_rms = _tree_rms(grads)
+                    param_rms = _tree_rms(params) + 1e-12
+                    alpha_eff = jnp.maximum(
+                        self.mg_alpha,
+                        self.mg_target_rel * param_rms / (lr * grad_rms + 1e-12),
+                    )
+                    alpha_eff = jnp.minimum(
+                        alpha_eff, self.mg_alpha * self.mg_alpha_max_scale
+                    )
+                    mirror_params = jax.tree_util.tree_map(
+                        lambda p, g: p - alpha_eff * lr * g, params, grads
+                    )
+                    m_grads, _ = jax.grad(
+                        lambda p: self._apply_loss(p, ctx, batch, k_drop3),
+                        has_aux=True,
+                    )(mirror_params)
+                    anti = jax.tree_util.tree_map(
+                        lambda g: -self.mg_beta * g, m_grads
+                    )
+                    updates, opt_state = self.tx.update(anti, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return params, opt_state
+
+                def no_mirror(args):
+                    return args
+
+                params, opt_state = jax.lax.cond(
+                    (step_id + 1) % self.mg_interval == 0, mirror, no_mirror,
+                    (params, opt_state),
+                )
+
+            return (params, opt_state, rng), (total, parts)
+
+        (params, opt_state, _), (totals, parts) = jax.lax.scan(
+            step, (params, opt_state, k_scan), (perm, weight, step_ids)
+        )
+        return params, opt_state, totals, parts
+
+    # ------------------------------------------------------------- jitted eval
+    def _eval_batch_impl(self, params, ctx, users, mask_rows, mask_items):
+        scores = self.model.apply(
+            {"params": params}, ctx, users, method="full_scores"
+        )
+        B = scores.shape[0]
+        ext = jnp.concatenate([scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
+        # mask train positives with -1e10 (reference trainer.py:524)
+        ext = ext.at[mask_rows, mask_items].set(-1e10)
+        scores = ext[:, :-1]
+        _, topk_idx = jax.lax.top_k(scores, self.max_k)
+        return topk_idx
+
+    # ----------------------------------------------------------------- train
+    def fit(
+        self,
+        valid_bundle: Optional[EvalBundle] = None,
+        test_bundle: Optional[EvalBundle] = None,
+        saved: bool = False,
+        verbose: bool = True,
+    ) -> Tuple[float, Dict[str, float], Dict[str, float]]:
+        if self.params is None:
+            self.init_state(int(_first(self.config.get("seed"), 999)))
+        valid_bundle = valid_bundle or self.data.valid_eval
+        test_bundle = test_bundle or self.data.test_eval
+
+        cur_step = 0
+        for epoch_idx in range(self.epochs):
+            t0 = time.time()
+            if self.req_training:
+                # per-epoch LR decay (reference trainer.py:96-99, applied per epoch)
+                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    self.lr_fn(epoch_idx), dtype=jnp.float32
+                )
+                if self._pre_epoch_jit is not None:
+                    self._epoch_key, k_pre = jax.random.split(self._epoch_key)
+                    self.ctx = self._pre_epoch_jit(self.ctx, k_pre)
+                self._epoch_key, k_ep = jax.random.split(self._epoch_key)
+                self.params, self.opt_state, totals, parts = self._train_epoch_jit(
+                    self.params, self.opt_state, self.ctx, k_ep
+                )
+                totals = np.asarray(totals)
+                train_loss = float(totals.sum())
+                if not np.isfinite(train_loss):
+                    self.logger.info(
+                        f"Loss is nan at epoch {epoch_idx}. Exiting."
+                    )
+                    break
+            else:
+                train_loss = 0.0
+            self.train_loss_dict[epoch_idx] = train_loss
+            t1 = time.time()
+            if verbose:
+                ips = self.n_samples / max(t1 - t0, 1e-9)
+                self.logger.info(
+                    f"epoch {epoch_idx} training [time: {t1 - t0:.2f}s, "
+                    f"train loss: {train_loss:.4f}, examples/s: {ips:.0f}]"
+                )
+
+            if (epoch_idx + 1) % self.eval_step == 0:
+                t2 = time.time()
+                valid_result = self.evaluate(valid_bundle)
+                valid_score = valid_result.get(self.valid_metric, 0.0)
+                self.best_valid_score, cur_step, stop_flag, update_flag = early_stopping(
+                    valid_score,
+                    self.best_valid_score,
+                    cur_step,
+                    max_step=self.stopping_step,
+                    bigger=self.valid_metric_bigger,
+                )
+                test_result = self.evaluate(test_bundle, is_test=True)
+                if verbose:
+                    self.logger.info(
+                        f"epoch {epoch_idx} evaluating [time: {time.time() - t2:.2f}s, "
+                        f"valid_score: {valid_score:.6f}]"
+                    )
+                    self.logger.info("valid result: \n" + dict2str(valid_result))
+                    self.logger.info("test result: \n" + dict2str(test_result))
+                if update_flag:
+                    if verbose:
+                        self.logger.info(
+                            "## " + str(self.config["model"]) + "--Best validation results updated!!!"
+                        )
+                    self.best_valid_result = valid_result
+                    self.best_test_upon_valid = test_result
+                    if saved:
+                        self.save_checkpoint()
+                if stop_flag:
+                    if verbose:
+                        self.logger.info(
+                            "+++++Finished training, best eval result in epoch %d"
+                            % (epoch_idx - cur_step * self.eval_step)
+                        )
+                    break
+                if not self.req_training:
+                    break  # non-learned models need a single evaluation
+        return self.best_valid_score, self.best_valid_result, self.best_test_upon_valid
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, bundle: EvalBundle, is_test: bool = False, idx: int = 0) -> Dict[str, float]:
+        chunks = []
+        for b in range(bundle.n_batches):
+            topk = self._eval_batch_jit(
+                self.params,
+                self.ctx,
+                bundle.users[b],
+                bundle.mask_rows[b],
+                bundle.mask_items[b],
+            )
+            chunks.append(np.asarray(topk)[: bundle.n_valid[b]])
+        topk_all = np.concatenate(chunks, axis=0)
+        eval_users = np.concatenate(
+            [np.asarray(bundle.users[b])[: bundle.n_valid[b]] for b in range(bundle.n_batches)]
+        )
+        return self.evaluator.evaluate(
+            topk_all, bundle.gt_list, bundle.gt_len,
+            is_test=is_test, idx=idx, eval_users=eval_users,
+        )
+
+    # ---------------------------------------------------------- checkpointing
+    def checkpoint_path(self) -> str:
+        ckpt_dir = self.config.get("checkpoint_dir", "saved")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        return os.path.join(
+            ckpt_dir, f"{self.config['model']}-{self.config['dataset']}-best.msgpack"
+        )
+
+    def save_checkpoint(self) -> str:
+        path = self.checkpoint_path()
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.params))
+        return path
+
+    def load_checkpoint(self, path: Optional[str] = None) -> None:
+        path = path or self.checkpoint_path()
+        with open(path, "rb") as f:
+            self.params = serialization.from_bytes(self.params, f.read())
+
+
+def _first(value, default):
+    """Config values may be sweep lists; take the first element as scalar."""
+    if value is None:
+        return default
+    if isinstance(value, (list, tuple)):
+        return value[0] if value else default
+    return value
+
+
+def get_trainer():
+    return Trainer
