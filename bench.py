@@ -1,0 +1,146 @@
+"""Benchmark: flagship-model training throughput on real TPU hardware.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+
+Protocol: baby-scale synthetic dataset (19,445 users / 7,050 items /
+~160k interactions, CLIP-sized features — the statistics of the reference's
+headline benchmark, see BASELINE.md), flagship model (SMORE once available,
+else LightGCN), one warm-up epoch (XLA compile), then timed epochs.  The
+baseline denominator is the measured examples/s of the ACTUAL reference
+PyTorch code running the same model on the same synthetic data on this
+host's CPU (see tools/measure_reference_baseline.py; result cached in
+BASELINE_MEASURED.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default=None, help="model name (default: flagship)")
+    p.add_argument("--users", type=int, default=19445)
+    p.add_argument("--items", type=int, default=7050)
+    p.add_argument("--inters", type=int, default=160792)
+    p.add_argument("--epochs", type=int, default=3, help="timed epochs after warmup")
+    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--cpu", action="store_true", help="debug: run on host CPU")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from recommendar_systems_tpu.data.arrays import build_data_bundle
+    from recommendar_systems_tpu.data.synthetic import generate_synthetic_fast
+    from recommendar_systems_tpu.models import get_model
+    from recommendar_systems_tpu.train.trainer import Trainer
+    from recommendar_systems_tpu.utils.configurator import Config
+
+    model_name = args.model
+    if model_name is None:
+        import __graft_entry__ as ge
+
+        model_name = ge._flagship_name()
+
+    cfg = Config(
+        model_name,
+        "synthetic",
+        config_dict={
+            "epochs": args.epochs + 1,
+            "train_batch_size": args.batch_size,
+            "eval_batch_size": 4096,
+            "topk": [5, 10, 20, 50],
+            "seed": [0],
+        },
+    )
+    for ax in cfg["hyper_parameters"]:
+        v = cfg[ax]
+        if isinstance(v, list) and v:
+            cfg[ax] = v[0]
+
+    ds = generate_synthetic_fast(
+        n_users=args.users, n_items=args.items, n_inter=args.inters, seed=0
+    )
+    data = build_data_bundle(ds, cfg)
+    cls = get_model(model_name)
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    trainer = Trainer(cfg, model, ctx, data)
+    trainer.init_state(0)
+
+    # warm-up epoch (compile)
+    key = jax.random.key(1)
+    key, k0 = jax.random.split(key)
+    out = trainer._train_epoch_jit(trainer.params, trainer.opt_state, trainer.ctx, k0)
+    trainer.params, trainer.opt_state = out[0], out[1]
+    jax.block_until_ready(out[0])
+
+    # timed epochs
+    t0 = time.time()
+    for _ in range(args.epochs):
+        key, ke = jax.random.split(key)
+        out = trainer._train_epoch_jit(
+            trainer.params, trainer.opt_state, trainer.ctx, ke
+        )
+        trainer.params, trainer.opt_state = out[0], out[1]
+    jax.block_until_ready(trainer.params)
+    dt = time.time() - t0
+    n_train = data.n_train
+    train_eps = n_train * args.epochs / dt
+
+    # eval throughput (full-catalog scoring, users/s) — warm then timed
+    ev = data.valid_eval
+    _ = trainer._eval_batch_jit(
+        trainer.params, trainer.ctx, ev.users[0], ev.mask_rows[0], ev.mask_items[0]
+    )
+    jax.block_until_ready(_)
+    t1 = time.time()
+    total_users = 0
+    for b in range(ev.n_batches):
+        r = trainer._eval_batch_jit(
+            trainer.params, trainer.ctx, ev.users[b], ev.mask_rows[b], ev.mask_items[b]
+        )
+        total_users += int(ev.n_valid[b])
+    jax.block_until_ready(r)
+    eval_ups = total_users / (time.time() - t1)
+
+    baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as f:
+            measured = json.load(f)
+        baseline = measured.get(model_name, {}).get("train_examples_per_s")
+        if baseline is None:
+            baseline = measured.get("LightGCN", {}).get("train_examples_per_s")
+
+    vs = round(train_eps / baseline, 2) if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": f"{model_name}_train_examples_per_s_per_chip",
+                "value": round(train_eps, 1),
+                "unit": "examples/s",
+                "vs_baseline": vs,
+                "extra": {
+                    "eval_users_per_s": round(eval_ups, 1),
+                    "epoch_time_s": round(dt / args.epochs, 3),
+                    "n_train": n_train,
+                    "dataset": f"synthetic-baby({args.users}u/{args.items}i)",
+                    "baseline_ref": "reference PyTorch on host CPU (BASELINE_MEASURED.json)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

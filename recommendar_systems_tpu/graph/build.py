@@ -94,6 +94,34 @@ def build_edge_info(
     return np.stack([u, i]).astype(np.int32), vals
 
 
+def sym_coo_with_perm(
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
+):
+    """Symmetric (U+I) COO from u-i edges plus the slot permutation.
+
+    Returns ``(coo, perm)`` where ``coo`` is row-sorted with placeholder
+    values and ``perm`` maps positions in ``concat([ui_vals, iu_vals])`` to
+    the sorted slot order — so per-epoch edge dropout (FREEDOM
+    `freedom.py:130-145`, LayerGCN `layergcn.py:51-70`) can recompute values
+    on device as ``coo.with_values(concat([v, v])[perm])`` with static
+    shapes (dropped edges become zero-valued slots).
+    """
+    u = np.asarray(u, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    rows = np.concatenate([u, i + n_users])
+    cols = np.concatenate([i + n_users, u])
+    order = np.lexsort((cols, rows))
+    n = n_users + n_items
+    coo = COO(
+        rows=jnp.asarray(rows[order], dtype=jnp.int32),
+        cols=jnp.asarray(cols[order], dtype=jnp.int32),
+        vals=jnp.zeros(len(order), dtype=jnp.float32),
+        n_rows=n,
+        n_cols=n,
+    )
+    return coo, jnp.asarray(order, dtype=jnp.int32)
+
+
 def coo_from_ui_edges(
     u: np.ndarray,
     i: np.ndarray,

@@ -55,9 +55,23 @@ def build_sim_topk(
 
 
 def knn_normalized_ell(
-    idx: jnp.ndarray, val: jnp.ndarray, n: int, norm_type: str = "sym"
+    idx: jnp.ndarray,
+    val: jnp.ndarray,
+    n: int,
+    norm_type: str = "sym",
+    weighted: bool = True,
 ) -> ELL:
-    """Normalize top-k edges into an ELL adjacency (`utils.py:139-152`)."""
+    """Normalize top-k edges into an ELL adjacency (`utils.py:139-152`).
+
+    ``weighted=False`` reproduces the FREEDOM variant
+    (`freedom.py:85-103`): edges carry weight 1 before normalization, and
+    both endpoint degrees come from the row-sum vector (k + 1e-7 for every
+    row), so every kept edge gets value ``1/(k + 1e-7)``.
+    """
+    if not weighted:
+        k = idx.shape[1]
+        w = jnp.full_like(val, 1.0 / (k + 1e-7))
+        return ELL(idx=idx.astype(jnp.int32), val=w, n_cols=n)
     # degrees = row sums of kept edge weights (scatter_add by row in the
     # reference == plain row sum in exact-k ELL)
     deg = val.sum(axis=1)
@@ -76,21 +90,29 @@ def build_knn_ell(
     feats,
     k: int,
     norm_type: str = "sym",
+    weighted: bool = True,
     cache_dir: Optional[str] = None,
     cache_key: Optional[str] = None,
     block: int = 2048,
 ) -> ELL:
     """Build (or load from cache) a normalized kNN ELL graph from features."""
+    feats = jnp.asarray(feats)
+    path = None
     if cache_dir and cache_key:
-        path = os.path.join(cache_dir, f"knn_{cache_key}_k{k}_{norm_type}.npz")
+        w_tag = "w" if weighted else "u"
+        # shape in the key: a cache written for one catalog must never be
+        # read for another (same dataset name, different size)
+        shape_tag = f"{feats.shape[0]}x{feats.shape[1]}"
+        path = os.path.join(
+            cache_dir, f"knn_{cache_key}_{shape_tag}_k{k}_{norm_type}{w_tag}.npz"
+        )
         if os.path.isfile(path):
             z = np.load(path)
             return ELL(
                 idx=jnp.asarray(z["idx"]), val=jnp.asarray(z["val"]), n_cols=int(z["n"])
             )
-    feats = jnp.asarray(feats)
     idx, val = build_sim_topk(feats, k, block=block)
-    ell = knn_normalized_ell(idx, val, feats.shape[0], norm_type)
+    ell = knn_normalized_ell(idx, val, feats.shape[0], norm_type, weighted=weighted)
     if cache_dir and cache_key:
         os.makedirs(cache_dir, exist_ok=True)
         np.savez(

@@ -87,6 +87,30 @@ class ELL:
         return ELL(self.idx, val, self.n_cols)
 
 
+def ell_union_max(a: ELL, b: ELL) -> ELL:
+    """Element-wise max over the union of two ELL sparsity patterns.
+
+    Counterpart of SMORE's ``max_pool_fusion`` (`smore.py:153-174`): edges
+    present in both graphs keep the larger value; pattern-exclusive edges
+    keep their own.  Each input has unique columns per row, so a duplicate
+    column appears at most twice in the concatenation — sort columns within
+    each row, fold adjacent duplicates with max, zero the second copy.
+    """
+    idx = jnp.concatenate([a.idx, b.idx], axis=1)
+    val = jnp.concatenate([a.val, b.val], axis=1)
+    order = jnp.argsort(idx, axis=1, stable=True)
+    idx_s = jnp.take_along_axis(idx, order, axis=1)
+    val_s = jnp.take_along_axis(val, order, axis=1)
+    dup = idx_s[:, 1:] == idx_s[:, :-1]  # [n, 2k-1] slot i+1 duplicates slot i
+    # zero the first copy of each duplicate pair, fold max into the second
+    dup_first = jnp.concatenate([dup, jnp.zeros_like(dup[:, :1])], axis=1)
+    merged = jnp.where(dup_first, 0.0, val_s)
+    merged = merged.at[:, 1:].set(
+        jnp.where(dup, jnp.maximum(val_s[:, 1:], val_s[:, :-1]), merged[:, 1:])
+    )
+    return ELL(idx=idx_s, val=merged, n_cols=a.n_cols)
+
+
 def spmm_coo(adj: COO, x: jnp.ndarray, sorted_rows: bool = True) -> jnp.ndarray:
     """``adj @ x`` for a row-sorted COO adjacency.
 

@@ -1,0 +1,227 @@
+"""FREEDOM (reference `/root/reference/src/models/freedom.py`).
+
+Frozen item-item kNN modality graph blended as
+``mm_image_weight * image_adj + (1 - mm_image_weight) * text_adj``
+(`freedom.py:64-77`, unweighted edges normalized to ``1/k``), plus
+degree-sensitive per-epoch edge dropout of the u-i graph
+(`freedom.py:130-145`: multinomial without replacement on the normalized
+edge values, kept subgraph renormalized).  Item representation = propagated
+LightGCN item embedding + K_mm-layer mm-graph propagation of the id
+embedding; loss = BPR + reg * (text-feature BPR + image-feature BPR)
+(`freedom.py:191-212`).
+
+TPU mapping: the mm graph is a concat-ELL (2k neighbors per item); edge
+dropout is a Gumbel-top-k over edge values writing zero/renormalized values
+into fixed COO slots (no shape change, no recompilation).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from recommendar_systems_tpu.graph.build import (
+    build_edge_info,
+    build_norm_adj,
+    sym_coo_with_perm,
+)
+from recommendar_systems_tpu.graph.knn import build_knn_ell
+from recommendar_systems_tpu.graph.sparse import ELL, spmm
+from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.layers import (
+    Dense,
+    lightgcn_propagate,
+    xavier_uniform,
+)
+from recommendar_systems_tpu.models.losses import bpr_loss, emb_loss
+
+
+def blend_modality_ells(image_ell: ELL, text_ell: ELL, image_weight: float) -> ELL:
+    """w * image + (1-w) * text as a single concat-ELL (duplicate edges sum
+    through SpMM, matching sparse-matrix addition in `freedom.py:74-76`)."""
+    idx = jnp.concatenate([image_ell.idx, text_ell.idx], axis=1)
+    val = jnp.concatenate(
+        [image_weight * image_ell.val, (1.0 - image_weight) * text_ell.val], axis=1
+    )
+    return ELL(idx=idx, val=val, n_cols=image_ell.n_cols)
+
+
+def degree_weighted_edge_dropout(
+    rng: jax.Array,
+    edge_u: jnp.ndarray,
+    edge_i: jnp.ndarray,
+    edge_values: jnp.ndarray,
+    sym_perm: jnp.ndarray,
+    n_users: int,
+    n_items: int,
+    keep_len: int,
+    uniform: bool = False,
+) -> jnp.ndarray:
+    """One epoch of degree-sensitive (or uniform) edge dropout.
+
+    Samples ``keep_len`` edges without replacement — weighted by the
+    normalized edge values (`freedom.py:135` / `layergcn.py:58-62`) via the
+    Gumbel-top-k equivalence — renormalizes the kept bipartite subgraph
+    (`freedom.py:147-157`), and scatters the values into the symmetric COO
+    slot order given by ``sym_perm``.  Dropped edges get value 0.
+    """
+    E = edge_values.shape[0]
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(rng, (E,)) + 1e-20) + 1e-20)
+    keys = gumbel if uniform else jnp.log(edge_values + 1e-20) + gumbel
+    _, keep_idx = jax.lax.top_k(keys, keep_len)
+    mask = jnp.zeros((E,), jnp.float32).at[keep_idx].set(1.0)
+    du = jax.ops.segment_sum(mask, edge_u, num_segments=n_users)
+    di = jax.ops.segment_sum(mask, edge_i, num_segments=n_items)
+    vals = mask * (du[edge_u] + 1e-7) ** -0.5 * (di[edge_i] + 1e-7) ** -0.5
+    return jnp.concatenate([vals, vals])[sym_perm]
+
+
+class FREEDOM(RecModel):
+    n_users: int = 0
+    n_items: int = 0
+    embedding_size: int = 64
+    feat_embed_dim: int = 64
+    n_mm_layers: int = 1
+    n_ui_layers: int = 2
+    reg_weight: float = 1e-5
+    has_v: bool = True
+    has_t: bool = True
+    has_pre_epoch = True
+
+    def setup(self):
+        self.user_embedding = self.param(
+            "user_embedding", xavier_uniform, (self.n_users, self.embedding_size)
+        )
+        self.item_id_embedding = self.param(
+            "item_id_embedding", xavier_uniform, (self.n_items, self.embedding_size)
+        )
+        if self.has_v:
+            self.image_trs = Dense(self.feat_embed_dim)
+        if self.has_t:
+            self.text_trs = Dense(self.feat_embed_dim)
+
+    def propagate(self, ctx, adj):
+        # mm-graph propagation of the item id table (`freedom.py:166-169`)
+        h = self.item_id_embedding
+        for _ in range(self.n_mm_layers):
+            h = spmm(ctx["mm_adj"], h)
+        ego = jnp.concatenate([self.user_embedding, self.item_id_embedding], axis=0)
+        all_emb = lightgcn_propagate(adj, ego, self.n_ui_layers)
+        return all_emb[: self.n_users], all_emb[self.n_users :] + h
+
+    def loss(self, ctx, batch, train: bool = True):
+        ue, ie = self.propagate(ctx, ctx["masked_adj"])
+        users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
+        w = batch.get("weight")
+        u = ue[users]
+        mf = bpr_loss(
+            jnp.sum(u * ie[pos], 1), jnp.sum(u * ie[neg], 1), gamma=0.0, weight=w
+        )
+        mod = 0.0
+        if self.has_t:
+            tf = self.text_trs(ctx["t_feat"])
+            mod = mod + bpr_loss(
+                jnp.sum(u * tf[pos], 1), jnp.sum(u * tf[neg], 1), gamma=0.0, weight=w
+            )
+        if self.has_v:
+            vf = self.image_trs(ctx["v_feat"])
+            mod = mod + bpr_loss(
+                jnp.sum(u * vf[pos], 1), jnp.sum(u * vf[neg], 1), gamma=0.0, weight=w
+            )
+        total = mf + self.reg_weight * mod
+        return total, {"mf_loss": mf, "modal_bpr": mod}
+
+    def full_scores(self, ctx, users):
+        ue, ie = self.propagate(ctx, ctx["norm_adj"])
+        return ue[users] @ ie.T
+
+    @classmethod
+    def from_config(cls, config, data) -> "FREEDOM":
+        return cls(
+            n_users=data.n_users,
+            n_items=data.n_items,
+            embedding_size=int(config["embedding_size"]),
+            feat_embed_dim=int(config["feat_embed_dim"] or config["embedding_size"]),
+            n_mm_layers=int(config["n_mm_layers"] or 1),
+            n_ui_layers=int(config["n_ui_layers"] or 2),
+            reg_weight=float(config["reg_weight"]),
+            has_v=data.v_feat is not None,
+            has_t=data.t_feat is not None,
+        )
+
+    @classmethod
+    def build_ctx(cls, config, data):
+        knn_k = int(config["knn_k"] or 10)
+        w_img = float(config["mm_image_weight"] or 0.1)
+        cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
+        norm_adj = build_norm_adj(
+            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+        )
+        masked_adj, sym_perm = sym_coo_with_perm(
+            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+        )
+        edges, edge_values = build_edge_info(
+            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+        )
+        img_ell = txt_ell = None
+        if data.v_feat is not None:
+            img_ell = build_knn_ell(
+                data.v_feat, knn_k, weighted=False,
+                cache_dir=cache_dir, cache_key="freedom_image",
+            )
+        if data.t_feat is not None:
+            txt_ell = build_knn_ell(
+                data.t_feat, knn_k, weighted=False,
+                cache_dir=cache_dir, cache_key="freedom_text",
+            )
+        if img_ell is not None and txt_ell is not None:
+            mm_adj = blend_modality_ells(img_ell, txt_ell, w_img)
+        else:
+            mm_adj = img_ell if img_ell is not None else txt_ell
+        ctx = {
+            "norm_adj": norm_adj,
+            # start with the full graph; pre_epoch overwrites values
+            "masked_adj": masked_adj.with_values(norm_adj.vals),
+            "sym_perm": sym_perm,
+            "edge_u": jnp.asarray(edges[0], dtype=jnp.int32),
+            "edge_i": jnp.asarray(edges[1], dtype=jnp.int32),
+            "edge_values": jnp.asarray(edge_values),
+            "mm_adj": mm_adj,
+        }
+        if data.v_feat is not None:
+            ctx["v_feat"] = data.v_feat
+        if data.t_feat is not None:
+            ctx["t_feat"] = data.t_feat
+        return ctx
+
+    @classmethod
+    def pre_epoch(cls, ctx, rng, config):
+        dropout = float(config.get("dropout") or 0.0)
+        if isinstance(config.get("dropout"), list):
+            dropout = float(config["dropout"][0])
+        if dropout <= 0.0:
+            ctx = dict(ctx)
+            ctx["masked_adj"] = ctx["masked_adj"].with_values(ctx["norm_adj"].vals)
+            return ctx
+        E = ctx["edge_values"].shape[0]
+        keep_len = int(E * (1.0 - dropout))
+        n_items = int(config["__n_items__"])
+        n_users = int(config["__n_users__"])
+        vals = degree_weighted_edge_dropout(
+            rng,
+            ctx["edge_u"],
+            ctx["edge_i"],
+            ctx["edge_values"],
+            ctx["sym_perm"],
+            n_users,
+            n_items,
+            keep_len,
+        )
+        ctx = dict(ctx)
+        ctx["masked_adj"] = ctx["masked_adj"].with_values(vals)
+        return ctx
+
+
+MODEL = FREEDOM

@@ -75,6 +75,23 @@ def l2_loss(*embeddings: jnp.ndarray) -> jnp.ndarray:
     return total
 
 
+def batch_sq_reg(
+    *embeddings: jnp.ndarray,
+    batch_size: int,
+    weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """SMORE/MGCN-style regularizer: ``0.5 * sum(e^2)`` over the gathered
+    batch embeddings divided by the *configured* batch size
+    (`smore.py:366-372` divides by ``self.batch_size``, not the actual
+    batch length)."""
+    total = 0.0
+    for e in embeddings:
+        if weight is not None and e.shape[0] == weight.shape[0]:
+            e = e * weight.reshape((-1,) + (1,) * (e.ndim - 1))
+        total = total + 0.5 * jnp.sum(e * e)
+    return total / batch_size
+
+
 def infonce(
     view1: jnp.ndarray,
     view2: jnp.ndarray,
@@ -83,11 +100,18 @@ def infonce(
     b_cos: bool = True,
 ) -> jnp.ndarray:
     """In-batch InfoNCE between two aligned views (reference `mgcn.py:222-231`):
-    positives are matching rows, negatives all other rows of ``view2``."""
+    positives are matching rows, negatives all other rows of ``view2``.
+
+    ``weight`` doubles as the padding mask: zero-weight rows are excluded
+    from the mean AND masked out of every denominator, so the static-shape
+    padded batch computes exactly the reference's partial-batch value.
+    """
     if b_cos:
         view1 = view1 / (jnp.linalg.norm(view1, axis=1, keepdims=True) + 1e-12)
         view2 = view2 / (jnp.linalg.norm(view2, axis=1, keepdims=True) + 1e-12)
     pos = jnp.sum(view1 * view2, axis=1) / temperature
     logits = (view1 @ view2.T) / temperature
+    if weight is not None:
+        logits = jnp.where(weight[None, :] > 0, logits, -jnp.inf)
     lse = jax.nn.logsumexp(logits, axis=1)
     return _wmean(-(pos - lse), weight)

@@ -36,6 +36,7 @@ from flax import serialization
 
 from recommendar_systems_tpu.data.arrays import DataBundle, EvalBundle
 from recommendar_systems_tpu.data.sampling import sample_negatives
+from recommendar_systems_tpu.parallel.mesh import make_mesh, shard_params
 from recommendar_systems_tpu.train.state import build_optimizer, lr_schedule
 from recommendar_systems_tpu.utils.misc import dict2str, early_stopping
 from recommendar_systems_tpu.utils.topk_evaluator import TopKEvaluator
@@ -86,6 +87,14 @@ class Trainer:
         self.lr_fn = lr_schedule(config)
         self.evaluator = TopKEvaluator(config)
 
+        # optional device mesh: DP over 'data', row-sharded tables over 'model'
+        self.mesh = None
+        if config.get("mesh_shape") or config.get("shard_embedding_tables"):
+            self.mesh = make_mesh(
+                config.get("mesh_shape"),
+                tuple(config.get("mesh_axis_names") or ("data", "model")),
+            )
+
         if self.use_full_sampling:
             self.n_samples = data.n_users
         else:
@@ -104,6 +113,8 @@ class Trainer:
         self._pre_epoch_jit = None
         if getattr(type(model), "has_pre_epoch", False):
             cfg_snapshot = dict(config.final_config) if hasattr(config, "final_config") else dict(config)
+            cfg_snapshot["__n_users__"] = data.n_users
+            cfg_snapshot["__n_items__"] = data.n_items
             cls = type(model)
             self._pre_epoch_jit = jax.jit(
                 lambda ctx, rng: cls.pre_epoch(ctx, rng, cfg_snapshot)
@@ -122,6 +133,14 @@ class Trainer:
             method="loss",
         )
         self.params = variables["params"]
+        if self.mesh is not None:
+            data = self.data
+            self.params = shard_params(
+                self.params,
+                self.mesh,
+                table_dims=[data.n_users, data.n_items, data.n_users + data.n_items],
+                shard_tables=bool(self.config.get("shard_embedding_tables", True)),
+            )
         self.opt_state = self.tx.init(self.params)
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(self.params))
         self.logger.info(f"model initialized: {n_params} trainable parameters")
@@ -193,6 +212,15 @@ class Trainer:
                         k_neg, users, data.n_items, data.pos_indptr,
                         data.pos_items, n_tries=self.neg_tries,
                     )
+            if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(self.mesh, P("data"))
+                    ),
+                    batch,
+                )
 
             lr = opt_state.hyperparams["learning_rate"]
 
@@ -272,6 +300,15 @@ class Trainer:
         scores = self.model.apply(
             {"params": params}, ctx, users, method="full_scores"
         )
+        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # shard eval users over 'data': each device scores its slice of
+            # the batch against the (possibly row-sharded) catalog, and the
+            # top-k below runs distributed
+            scores = jax.lax.with_sharding_constraint(
+                scores, NamedSharding(self.mesh, P("data", None))
+            )
         B = scores.shape[0]
         ext = jnp.concatenate([scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
         # mask train positives with -1e10 (reference trainer.py:524)

@@ -1,0 +1,94 @@
+"""End-to-end tests for the graph/multimodal model batch."""
+
+import numpy as np
+import pytest
+
+from recommendar_systems_tpu.data.arrays import build_data_bundle
+from recommendar_systems_tpu.data.synthetic import generate_synthetic
+from recommendar_systems_tpu.models import get_model
+from recommendar_systems_tpu.train.trainer import Trainer
+
+from conftest import make_config
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return generate_synthetic(
+        n_users=120, n_items=60, n_inter=2400, v_dim=24, t_dim=16, seed=11
+    )
+
+
+def run_model(model_name, ds, epochs=6, mg=False, **cfg_overrides):
+    cfg = make_config(model_name, epochs=epochs, **cfg_overrides)
+    for ax in cfg["hyper_parameters"]:
+        v = cfg[ax]
+        if isinstance(v, list) and v:
+            cfg[ax] = v[0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model(model_name)
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    trainer = Trainer(cfg, model, ctx, data, mg=mg)
+    trainer.init_state(1)
+    score, valid, test = trainer.fit(saved=False, verbose=False)
+    return score, valid, test, trainer
+
+
+def test_freedom_learns(ds):
+    score, valid, test, tr = run_model(
+        "FREEDOM", ds, epochs=8, reg_weight=1e-5, dropout=0.8
+    )
+    assert np.isfinite(score) and score > 0.30, valid
+    losses = list(tr.train_loss_dict.values())
+    assert losses[-1] < losses[0]
+
+
+def test_freedom_edge_dropout_changes_adj(ds):
+    cfg = make_config("FREEDOM", epochs=1, reg_weight=1e-5, dropout=0.8)
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("FREEDOM")
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    import jax
+
+    cfg_d = dict(cfg.final_config)
+    cfg_d["__n_users__"] = data.n_users
+    cfg_d["__n_items__"] = data.n_items
+    ctx2 = cls.pre_epoch(ctx, jax.random.key(0), cfg_d)
+    v0 = np.asarray(ctx["masked_adj"].vals)
+    v1 = np.asarray(ctx2["masked_adj"].vals)
+    # ~80% of symmetric slots zeroed
+    frac_zero = (v1 == 0).mean()
+    assert 0.7 < frac_zero < 0.9, frac_zero
+    assert not np.allclose(v0, v1)
+    # kept subgraph renormalized: each kept edge value is 1/sqrt(du'*di')
+    assert np.isfinite(v1).all()
+
+
+def test_bm3_learns(ds):
+    score, valid, test, tr = run_model(
+        "BM3", ds, epochs=8, n_layers=1, reg_weight=0.1, dropout=0.3
+    )
+    assert np.isfinite(score) and score > 0.25, valid
+
+
+def test_layergcn_learns(ds):
+    score, valid, test, tr = run_model(
+        "LayerGCN", ds, epochs=8, n_layers=2, reg_weight=1e-3, dropout=0.1
+    )
+    assert np.isfinite(score) and score > 0.30, valid
+
+
+def test_selfcfed_learns(ds):
+    score, valid, test, tr = run_model(
+        "SELFCFED_LGN", ds, epochs=10, n_layers=2, reg_weight=0.01, dropout=0.1
+    )
+    assert np.isfinite(score) and score > 0.15, valid
+
+
+def test_itemknncbf_no_training(ds):
+    score, valid, test, tr = run_model("ItemKNNCBF", ds, epochs=3)
+    # content kNN on community features must beat random
+    assert score > 0.25, valid
+    # no training happened
+    assert all(v == 0.0 for v in tr.train_loss_dict.values())

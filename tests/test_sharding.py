@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Asserts (a) the sharded training step compiles and executes with row-sharded
+tables + DP batches, and (b) sharded vs single-device training produce
+numerically close results (same seed, same data) — the shard-vs-replicated
+equivalence strategy from SURVEY.md §4.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from recommendar_systems_tpu.data.arrays import build_data_bundle
+from recommendar_systems_tpu.data.synthetic import generate_synthetic
+from recommendar_systems_tpu.models import get_model
+from recommendar_systems_tpu.parallel.mesh import make_mesh, shard_params
+from recommendar_systems_tpu.train.trainer import Trainer
+
+from conftest import make_config
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return generate_synthetic(
+        n_users=100, n_items=64, n_inter=2000, v_dim=16, t_dim=16, seed=5
+    )
+
+
+def _run(ds, mesh_shape, shard_tables, epochs=3):
+    cfg = make_config(
+        "LightGCN",
+        epochs=epochs,
+        n_layers=2,
+        reg_weight=0.001,
+        mesh_shape=mesh_shape,
+        shard_embedding_tables=shard_tables,
+    )
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("LightGCN")
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    trainer = Trainer(cfg, model, ctx, data, mg=False)
+    trainer.init_state(3)
+    score, valid, test = trainer.fit(saved=False, verbose=False)
+    return score, valid, trainer
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh([4, 2])
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = make_mesh(None)
+    assert mesh1.shape["data"] == 8
+
+
+def test_sharded_training_runs(ds):
+    score, valid, trainer = _run(ds, [4, 2], True)
+    assert np.isfinite(score) and score > 0.2
+    # tables actually sharded over 'model'
+    ue = trainer.params["user_emb"]
+    assert not ue.sharding.is_fully_replicated
+
+
+def test_sharded_matches_unsharded(ds):
+    score_s, valid_s, _ = _run(ds, [4, 2], True, epochs=2)
+    score_r, valid_r, _ = _run(ds, None, False, epochs=2)
+    # same seed + same device-count-independent math => close results
+    assert abs(score_s - score_r) < 0.02, (valid_s, valid_r)
+
+
+def test_graft_entry_single():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[1].shape[0]
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
