@@ -77,6 +77,32 @@ def build_norm_ui(
     )
 
 
+def build_rw_adj_selfloop(
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
+) -> COO:
+    """Row-normalized (U+I) adjacency WITH self-loops: D^-1 (A + I).
+
+    LATTICE's u-i graph normalization (`lattice.py:105-125`: ``d_inv =
+    rowsum^-1`` over ``adj + eye``).
+    """
+    u = np.asarray(u, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    n = n_users + n_items
+    rows = np.concatenate([u, i + n_users, np.arange(n)])
+    cols = np.concatenate([i + n_users, u, np.arange(n)])
+    deg = np.bincount(rows, minlength=n).astype(np.float64)
+    d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
+    vals = d_inv[rows].astype(np.float32)
+    order = np.lexsort((cols, rows))
+    return COO(
+        rows=jnp.asarray(rows[order], dtype=jnp.int32),
+        cols=jnp.asarray(cols[order], dtype=jnp.int32),
+        vals=jnp.asarray(vals[order]),
+        n_rows=n,
+        n_cols=n,
+    )
+
+
 def build_edge_info(
     u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -87,6 +87,39 @@ class ELL:
         return ELL(self.idx, val, self.n_cols)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class LowRank:
+    """Low-rank adjacency ``L @ R^T`` (n x n via two [n, k] factors).
+
+    Used for PGL's global SVD-filtered graph (`pgl.py:138-154`): instead of
+    materializing and thresholding the dense product of singular triplets,
+    the factorized form is kept exact and SpMM is two MXU matmuls.
+    """
+
+    left: jnp.ndarray   # [n, k]
+    right: jnp.ndarray  # [m, k]
+
+    def tree_flatten(self):
+        return (self.left, self.right), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1])
+
+    @property
+    def n_rows(self) -> int:
+        return int(self.left.shape[0])
+
+    @property
+    def n_cols(self) -> int:
+        return int(self.right.shape[0])
+
+
+def spmm_lowrank(adj: LowRank, x: jnp.ndarray) -> jnp.ndarray:
+    return adj.left @ (adj.right.T @ x)
+
+
 def ell_union_max(a: ELL, b: ELL) -> ELL:
     """Element-wise max over the union of two ELL sparsity patterns.
 
@@ -136,4 +169,6 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
         return spmm_coo(adj, x)
     if isinstance(adj, ELL):
         return spmm_ell(adj, x)
+    if isinstance(adj, LowRank):
+        return spmm_lowrank(adj, x)
     raise TypeError(f"unsupported adjacency type {type(adj)}")

@@ -66,4 +66,8 @@ def propagate_layers(adj, ego: jnp.ndarray, n_layers: int) -> List[jnp.ndarray]:
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
+    # rsqrt(sum_sq + eps) rather than x / (||x|| + eps): the norm's sqrt has
+    # a NaN gradient at exactly-zero rows (which dropout produces)
+    import jax
+
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
