@@ -80,19 +80,24 @@ def main() -> None:
     # warm-up epoch (compile)
     key = jax.random.key(1)
     key, k0 = jax.random.split(key)
-    out = trainer._train_epoch_jit(trainer.params, trainer.opt_state, trainer.ctx, k0)
-    trainer.params, trainer.opt_state = out[0], out[1]
-    jax.block_until_ready(out[0])
+    out = trainer._train_epoch_jit(
+        trainer.params, trainer.opt_state, trainer.net_state, trainer.ctx,
+        trainer._data_arrays(), k0
+    )
+    trainer.params, trainer.opt_state, trainer.net_state = out[0], out[1], out[2]
+    # a host transfer is the only reliable sync on the axon tunnel
+    float(np.asarray(out[3]).sum())
 
     # timed epochs
     t0 = time.time()
     for _ in range(args.epochs):
         key, ke = jax.random.split(key)
         out = trainer._train_epoch_jit(
-            trainer.params, trainer.opt_state, trainer.ctx, ke
+            trainer.params, trainer.opt_state, trainer.net_state, trainer.ctx,
+            trainer._data_arrays(), ke
         )
-        trainer.params, trainer.opt_state = out[0], out[1]
-    jax.block_until_ready(trainer.params)
+        trainer.params, trainer.opt_state, trainer.net_state = out[0], out[1], out[2]
+        float(np.asarray(out[3]).sum())  # force completion of this epoch
     dt = time.time() - t0
     n_train = data.n_train
     train_eps = n_train * args.epochs / dt
@@ -100,17 +105,19 @@ def main() -> None:
     # eval throughput (full-catalog scoring, users/s) — warm then timed
     ev = data.valid_eval
     _ = trainer._eval_batch_jit(
-        trainer.params, trainer.ctx, ev.users[0], ev.mask_rows[0], ev.mask_items[0]
+        trainer.params, trainer.net_state, trainer.ctx,
+        ev.users[0], ev.mask_rows[0], ev.mask_items[0],
     )
-    jax.block_until_ready(_)
+    _ = np.asarray(_)
     t1 = time.time()
     total_users = 0
     for b in range(ev.n_batches):
         r = trainer._eval_batch_jit(
-            trainer.params, trainer.ctx, ev.users[b], ev.mask_rows[b], ev.mask_items[b]
+            trainer.params, trainer.net_state, trainer.ctx,
+            ev.users[b], ev.mask_rows[b], ev.mask_items[b],
         )
         total_users += int(ev.n_valid[b])
-    jax.block_until_ready(r)
+    np.asarray(r)
     eval_ups = total_users / (time.time() - t1)
 
     baseline = None

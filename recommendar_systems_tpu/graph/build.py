@@ -77,6 +77,32 @@ def build_norm_ui(
     )
 
 
+def build_mean_adj(
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
+) -> COO:
+    """Row-normalized (U+I) bipartite adjacency D^-1 A, no self loops.
+
+    This is torch-geometric's ``aggr='mean'`` message passing over the
+    symmetric interaction edge list (MMGCN `mmgcn.py:32,191-213`).
+    """
+    u = np.asarray(u, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    n = n_users + n_items
+    rows = np.concatenate([u, i + n_users])
+    cols = np.concatenate([i + n_users, u])
+    deg = np.bincount(rows, minlength=n).astype(np.float64)
+    d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
+    vals = d_inv[rows].astype(np.float32)
+    order = np.lexsort((cols, rows))
+    return COO(
+        rows=jnp.asarray(rows[order], dtype=jnp.int32),
+        cols=jnp.asarray(cols[order], dtype=jnp.int32),
+        vals=jnp.asarray(vals[order]),
+        n_rows=n,
+        n_cols=n,
+    )
+
+
 def build_rw_adj_selfloop(
     u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
 ) -> COO:

@@ -1,0 +1,200 @@
+"""GRCN (reference `/root/reference/src/models/grcn.py`, ACM MM'20).
+
+Content GCNs with dot-product attention routing (`grcn.py:46-76, 112-166`)
+produce per-edge confidence weights; the id-graph ``EGCN`` then runs a
+weighted SAGE propagation with ReLU-pruned weights (`grcn.py:80-109,
+265-285`); fusion = concat(id_rep, content_reps) (`grcn.py:289-296`).
+Weight mode 'confid': per-edge content attention scaled by a learned
+node-specific confidence, max over modalities (`grcn.py:271-279`).
+
+TPU mapping: GAT attention = dot scores + segment-softmax over destination
+nodes; SAGE = scatter of weighted source embeddings; the routing iterations
+update the user preference table from item content over the reversed edges
+(items -> users), the published GRCN routing semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.layers import Dense, l2_normalize, xavier_normal
+from recommendar_systems_tpu.models.losses import _wmean
+from recommendar_systems_tpu.ops.seg import scatter_weighted_sum, segment_softmax
+
+
+class GRCN(RecModel):
+    n_users: int = 0
+    n_items: int = 0
+    embedding_size: int = 64
+    latent_embedding: int = 64
+    num_routing: int = 3
+    reg_weight: float = 1e-4
+    has_v: bool = True
+    has_t: bool = True
+    # static modes (`grcn.py:180-186`)
+    weight_mode: str = "confid"
+    fusion_mode: str = "concat"
+    has_act: bool = False
+    has_norm: bool = True
+
+    def setup(self):
+        d, c = self.embedding_size, self.latent_embedding
+        N = self.n_users + self.n_items
+        self.id_embedding = self.param("id_embedding", xavier_normal, (N, d))
+        n_modal = int(self.has_v) + int(self.has_t)
+        self.model_specific_conf = self.param(
+            "model_specific_conf", xavier_normal, (N, n_modal)
+        )
+        if self.has_v:
+            self.v_pref = self.param("v_preference", xavier_normal, (self.n_users, c))
+            self.v_mlp = Dense(c, kernel_init=xavier_normal, name="v_mlp")
+        if self.has_t:
+            self.t_pref = self.param("t_preference", xavier_normal, (self.n_users, c))
+            self.t_mlp = Dense(c, kernel_init=xavier_normal, name="t_mlp")
+
+    def _gat(self, x, src, dst):
+        """Dot-attention conv (`grcn.py:46-76`): returns (out, alpha)."""
+        alpha = jnp.sum(x[dst] * x[src], axis=-1)
+        alpha = segment_softmax(alpha, dst, x.shape[0])
+        out = scatter_weighted_sum(x[src], alpha, dst, x.shape[0])
+        return out, alpha
+
+    def _content_tower(self, ctx, pref, mlp, feats):
+        features = nn.leaky_relu(mlp(feats), negative_slope=0.01)
+        if self.has_norm:
+            pref = l2_normalize(pref)
+            features = l2_normalize(features)
+        # routing: items -> users over reversed single-direction edges
+        src_i, dst_u = ctx["edge_i_node"], ctx["edge_u"]
+        for _ in range(self.num_routing):
+            x = jnp.concatenate([pref, features], axis=0)
+            upd, _ = self._gat(x, src_i, dst_u)
+            pref = pref + upd[: self.n_users]
+            if self.has_norm:
+                pref = l2_normalize(pref)
+        x = jnp.concatenate([pref, features], axis=0)
+        # final conv over the doubled edge list (`grcn.py:160-166`)
+        out, alpha = self._gat(x, ctx["sym_src"], ctx["sym_dst"])
+        if self.has_act:
+            out = nn.leaky_relu(out, negative_slope=0.01)
+        return x + out, alpha, pref
+
+    def representation(self, ctx):
+        weights = []
+        contents = []
+        prefs = {}
+        if self.has_v:
+            v_rep, a_v, prefs["v"] = self._content_tower(
+                ctx, self.v_pref, self.v_mlp, ctx["v_feat"]
+            )
+            contents.append(v_rep)
+            weights.append(a_v)
+        if self.has_t:
+            t_rep, a_t, prefs["t"] = self._content_tower(
+                ctx, self.t_pref, self.t_mlp, ctx["t_feat"]
+            )
+            contents.append(t_rep)
+            weights.append(a_t)
+        weight = jnp.stack(weights, axis=1)  # [2E, M]
+
+        if self.weight_mode == "mean":
+            weight = weight.mean(axis=1)
+        elif self.weight_mode == "max":
+            weight = weight.max(axis=1)
+        else:  # confid (`grcn.py:271-279`)
+            conf = self.model_specific_conf
+            confidence = jnp.concatenate(
+                [conf[ctx["edge_u"]], conf[ctx["edge_i_node"]]], axis=0
+            )  # [2E, M]
+            weight = (weight * confidence).max(axis=1)
+        weight = jax.nn.relu(weight)  # pruning (`grcn.py:282-284`)
+
+        # EGCN (`grcn.py:80-109`): weighted SAGE, x + h1 + h2
+        x = self.id_embedding
+        if self.has_norm:
+            x = l2_normalize(x)
+        h1 = scatter_weighted_sum(
+            x[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0]
+        )
+        if self.has_act:
+            h1 = nn.leaky_relu(h1, negative_slope=0.01)
+        h2 = scatter_weighted_sum(
+            h1[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0]
+        )
+        if self.has_act:
+            h2 = nn.leaky_relu(h2, negative_slope=0.01)
+        id_rep = x + h1 + h2
+
+        if self.fusion_mode == "concat":
+            rep = jnp.concatenate([id_rep] + contents, axis=1)
+        elif self.fusion_mode == "id":
+            rep = id_rep
+        else:  # mean
+            rep = (id_rep + sum(contents)) / (1 + len(contents))
+        return rep, prefs
+
+    def loss(self, ctx, batch, train: bool = True):
+        out, prefs = self.representation(ctx)
+        users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
+        w = batch.get("weight")
+        u = out[users]
+        pos_s = jnp.sum(u * out[pos + self.n_users], 1)
+        neg_s = jnp.sum(u * out[neg + self.n_users], 1)
+        mf = _wmean(-jnp.log(jax.nn.sigmoid(pos_s - neg_s)), w)
+        gathered = jnp.concatenate([users, pos + self.n_users, neg + self.n_users])
+        reg_emb = jnp.mean(self.id_embedding[gathered] ** 2)
+        if self.has_v:
+            reg_emb = reg_emb + jnp.mean(prefs["v"] ** 2)
+        reg_content = 0.0
+        if self.has_v:
+            reg_content = reg_content + jnp.mean(prefs["v"][users] ** 2)
+        if self.has_t:
+            reg_content = reg_content + jnp.mean(prefs["t"][users] ** 2)
+        reg = self.reg_weight * (reg_emb + reg_content)
+        total = mf + reg
+        return total, {"mf_loss": mf, "reg_loss": reg}
+
+    def full_scores(self, ctx, users):
+        out, _ = self.representation(ctx)
+        return out[: self.n_users][users] @ out[self.n_users :].T
+
+    @classmethod
+    def from_config(cls, config, data) -> "GRCN":
+        def _s(v):
+            return v[0] if isinstance(v, list) else v
+
+        return cls(
+            n_users=data.n_users,
+            n_items=data.n_items,
+            embedding_size=int(config["embedding_size"]),
+            latent_embedding=int(config["latent_embedding"] or 64),
+            num_routing=int(_s(config["n_layers"]) or 3),
+            reg_weight=float(_s(config["reg_weight"])),
+            has_v=data.v_feat is not None,
+            has_t=data.t_feat is not None,
+        )
+
+    @classmethod
+    def build_ctx(cls, config, data):
+        u = data.train_users_np.astype(np.int64)
+        i_node = data.train_items_np.astype(np.int64) + data.n_users
+        sym_src = np.concatenate([u, i_node])
+        sym_dst = np.concatenate([i_node, u])
+        ctx = {
+            "edge_u": jnp.asarray(u, dtype=jnp.int32),
+            "edge_i_node": jnp.asarray(i_node, dtype=jnp.int32),
+            "sym_src": jnp.asarray(sym_src, dtype=jnp.int32),
+            "sym_dst": jnp.asarray(sym_dst, dtype=jnp.int32),
+        }
+        if data.v_feat is not None:
+            ctx["v_feat"] = data.v_feat
+        if data.t_feat is not None:
+            ctx["t_feat"] = data.t_feat
+        return ctx
+
+
+MODEL = GRCN

@@ -1,0 +1,281 @@
+"""SMOREDiff (reference `/root/reference/src/models/smorediff.py`).
+
+SMORE ('mul' injection, selectable spec_method like SMOREX) plus:
+- **soft-R edge reweighting** (`smorediff.py:287-338`): per u-i edge
+  confidence = cosine(user_emb, cond_item)/T on stop-gradient embeddings,
+  z-scored per user (segment mean/var over the user's edges), tanh-compressed
+  (optionally down-only), applied multiplicatively to R's values with a 0.05
+  floor; the perturbed R replaces R in the user-side lift of every modality
+  view;
+- **edge-NCE loss** (`smorediff.py:180-231`): cross-entropy of the positive
+  edge against K hard negatives (user-pool / positive-item-kNN / random
+  fallback, precomputed per train edge on host) plus in-batch negatives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommendar_systems_tpu.graph.sparse import COO, spmm
+from recommendar_systems_tpu.models.layers import l2_normalize
+from recommendar_systems_tpu.models.losses import batch_sq_reg, bpr_loss, infonce
+from recommendar_systems_tpu.models.multiview import modality_view, ui_content_view
+from recommendar_systems_tpu.models.smorex import SMOREX
+
+
+class SMOREDiff(SMOREX):
+    use_diffusion_mvp: bool = False
+    diff_beta: float = 0.5
+    diff_temp: float = 0.6
+    diff_gamma: float = 1.2
+    diff_z_thres: float = 0.5
+    diff_only_down: bool = True
+    diff_stopgrad: bool = True
+    use_edge_nce: bool = True
+    edge_nce_k: int = 5
+    edge_nce_temp: float = 0.6
+    edge_nce_lambda: float = 0.2
+    edge_inbatch_negs: bool = True
+    edge_inbatch_ratio: int = 2
+
+    def _schedule(self, ctx):
+        """(diff_beta, only_down) — static here; SMOREDiffX schedules them."""
+        return self.diff_beta, jnp.asarray(self.diff_only_down)
+
+    def build_soft_r(self, ctx, R: COO, cond_item: jnp.ndarray, train: bool = True) -> COO:
+        """Per-edge multiplicative perturbation of R (`smorediff.py:287-338`)."""
+        beta, only_down = self._schedule(ctx)
+        u_idx, i_idx = R.rows, R.cols
+        u_vec = self.user_embedding[u_idx]
+        z_vec = cond_item[i_idx]
+        if self.diff_stopgrad:
+            u_vec = jax.lax.stop_gradient(u_vec)
+            z_vec = jax.lax.stop_gradient(z_vec)
+        sim = jnp.clip(
+            jnp.sum(l2_normalize(u_vec) * l2_normalize(z_vec), -1), -1.0, 1.0
+        )
+        logits = sim / self.diff_temp
+        ones = jnp.ones_like(logits)
+        sum_u = jax.ops.segment_sum(logits, u_idx, num_segments=self.n_users)
+        cnt_u = jnp.maximum(
+            jax.ops.segment_sum(ones, u_idx, num_segments=self.n_users), 1.0
+        )
+        mu = (sum_u / cnt_u)[u_idx]
+        sum2_u = jax.ops.segment_sum(logits * logits, u_idx, num_segments=self.n_users)
+        var_u = jnp.maximum(sum2_u / cnt_u - (sum_u / cnt_u) ** 2, 0.0)
+        std = jnp.sqrt(var_u + 1e-6)[u_idx]
+        z = (logits - mu) / (std + 1e-6)
+        delta = jnp.tanh(self.diff_gamma * z)
+        pos_mask = (z > self.diff_z_thres).astype(delta.dtype)
+        delta_updown = jax.nn.relu(delta) * pos_mask + jnp.minimum(delta, 0.0)
+        delta = jnp.where(only_down, jnp.minimum(delta, 0.0), delta_updown)
+        scale = jnp.maximum(1.0 + beta * delta, 0.05)
+        return R.with_values(R.vals * scale)
+
+    def views(self, ctx, train: bool):
+        image_feats = self.image_trs(ctx["v_feat"])
+        text_feats = self.text_trs(ctx["t_feat"])
+        image_conv, text_conv, fusion_conv = self.spectrum_convolution(
+            image_feats, text_feats
+        )
+        iid = self.item_id_embedding
+        image_item = iid * self.gate_v(image_conv)
+        text_item = iid * self.gate_t(text_conv)
+        fusion_item = iid * self.gate_f(fusion_conv)
+
+        if self.use_diffusion_mvp:
+            R = self.build_soft_r(ctx, ctx["R"], self._denoise_cond(fusion_item), train)
+        else:
+            R = ctx["R"]
+
+        content = ui_content_view(
+            ctx["norm_adj"], self.user_embedding, iid, self.n_ui_layers
+        )
+        image_embeds = modality_view(ctx["image_adj"], R, image_item, self.n_layers)
+        text_embeds = modality_view(ctx["text_adj"], R, text_item, self.n_layers)
+        fusion_embeds = modality_view(ctx["fusion_adj"], R, fusion_item, self.n_layers)
+
+        agg_image = jax.nn.softmax(self.query_v(fusion_embeds), axis=-1) * image_embeds
+        agg_text = jax.nn.softmax(self.query_t(fusion_embeds), axis=-1) * text_embeds
+        det = not train
+        image_prefer = self.prefer_dropout(
+            self.gate_image_prefer(content), deterministic=det
+        )
+        text_prefer = self.prefer_dropout(
+            self.gate_text_prefer(content), deterministic=det
+        )
+        fusion_prefer = self.prefer_dropout(
+            self.gate_fusion_prefer(content), deterministic=det
+        )
+        side = (
+            image_prefer * agg_image
+            + text_prefer * agg_text
+            + fusion_prefer * fusion_embeds
+        ) / 3.0
+        return content + side, side, content
+
+    def _denoise_cond(self, cond_item):
+        """Hook for SMOREDiffX's DSP denoiser; identity here."""
+        return cond_item
+
+    def _cond_item(self, ctx):
+        image_feats = self.image_trs(ctx["v_feat"])
+        text_feats = self.text_trs(ctx["t_feat"])
+        _, _, fusion_conv = self.spectrum_convolution(image_feats, text_feats)
+        return self.item_id_embedding * self.gate_f(fusion_conv)
+
+    def edge_nce_loss(self, ctx, batch, cond_item):
+        """CE of the positive edge vs hard + in-batch negatives
+        (`smorediff.py:188-231`)."""
+        users, pos = batch["users"], batch["pos_items"]
+        w = batch.get("weight")
+        hard = ctx["edge_hard_negs"][batch["edge_ids"]]  # [B, K]
+        items = jnp.concatenate([pos[:, None], hard], axis=1)  # [B, 1+K]
+        B = users.shape[0]
+        if self.edge_inbatch_negs:
+            extra = min(self.edge_inbatch_ratio * self.edge_nce_k, B - 1)
+            perm = jax.random.permutation(self.make_rng("sample"), B)[:extra]
+            ib = pos[perm]
+            items = jnp.concatenate(
+                [items, jnp.broadcast_to(ib[None, :], (B, extra))], axis=1
+            )
+        u = l2_normalize(jax.lax.stop_gradient(self.user_embedding)[users])
+        z = l2_normalize(jax.lax.stop_gradient(cond_item))[items]
+        logits = jnp.einsum("bd,bkd->bk", u, z) / self.edge_nce_temp
+        logp = jax.nn.log_softmax(logits, axis=1)
+        per = -logp[:, 0]
+        if w is not None:
+            return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return per.mean()
+
+    def loss(self, ctx, batch, train: bool = True):
+        all_embeds, side, content = self.views(ctx, train)
+        ue, ie = all_embeds[: self.n_users], all_embeds[self.n_users :]
+        users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
+        w = batch.get("weight")
+        u, pe, ne = ue[users], ie[pos], ie[neg]
+        mf = bpr_loss(jnp.sum(u * pe, 1), jnp.sum(u * ne, 1), gamma=0.0, weight=w)
+        reg = self.reg_weight * batch_sq_reg(
+            u, pe, ne, batch_size=self.batch_size, weight=w
+        )
+        side_u, side_i = side[: self.n_users], side[self.n_users :]
+        cont_u, cont_i = content[: self.n_users], content[self.n_users :]
+        cl = infonce(side_i[pos], cont_i[pos], 0.2, weight=w) + infonce(
+            side_u[users], cont_u[users], 0.2, weight=w
+        )
+        edge_nce = 0.0
+        if self.use_edge_nce and "edge_hard_negs" in ctx:
+            edge_nce = self.edge_nce_loss(ctx, batch, self._cond_item(ctx))
+        total = mf + reg + self.cl_loss * cl + self.edge_nce_lambda * edge_nce
+        return total, {
+            "mf_loss": mf,
+            "emb_loss": reg,
+            "cl_loss": cl,
+            "edge_nce": edge_nce,
+        }
+
+    @classmethod
+    def config_kwargs(cls, config, data) -> dict:
+        def _s(v):
+            return v[0] if isinstance(v, list) else v
+
+        kw = SMOREX.config_kwargs.__func__(cls, config, data)
+        kw.update(
+            use_diffusion_mvp=bool(config.get("use_diffusion_mvp") or False),
+            diff_beta=float(_s(config.get("diff_beta")) or 0.5),
+            diff_temp=float(config.get("diff_temp") or 0.6),
+            diff_gamma=float(config.get("diff_gamma") or 1.2),
+            diff_z_thres=float(config.get("diff_z_thres") or 0.5),
+            diff_only_down=bool(
+                True if config.get("diff_only_down") is None
+                else _s(config.get("diff_only_down"))
+            ),
+            diff_stopgrad=bool(
+                True if config.get("diff_stopgrad") is None
+                else config.get("diff_stopgrad")
+            ),
+            use_edge_nce=bool(
+                True if config.get("use_edge_nce") is None
+                else config.get("use_edge_nce")
+            ),
+            edge_nce_k=int(config.get("edge_nce_k") or 5),
+            edge_nce_temp=float(config.get("edge_nce_temp") or 0.6),
+            edge_nce_lambda=float(
+                0.2 if config.get("edge_nce_lambda") is None
+                else config.get("edge_nce_lambda")
+            ),
+            edge_inbatch_negs=bool(
+                True if config.get("edge_inbatch_negs") is None
+                else config.get("edge_inbatch_negs")
+            ),
+            edge_inbatch_ratio=int(config.get("edge_inbatch_ratio") or 2),
+        )
+        return kw
+
+    @classmethod
+    def from_config(cls, config, data) -> "SMOREDiff":
+        return cls(**cls.config_kwargs(config, data))
+
+    @classmethod
+    def build_ctx(cls, config, data):
+        from recommendar_systems_tpu.models.smore import SMORE as _S
+
+        ctx = _S.build_ctx(config, data)
+        # host-precomputed hard negatives per train edge (`smorediff.py:155-177,
+        # 188-205`): user candidate pool = fusion-kNN neighbors of the user's
+        # positives minus positives; fall back to the positive's own kNN then
+        # random
+        K = int(config.get("edge_nce_k") or 5)
+        L0 = int(config.get("edge_user_pool_L0") or 50)
+        fusion = ctx["fusion_adj"]
+        knn = np.asarray(fusion.idx)  # [I, 2k] neighbor ids sorted by col
+        knn_val = np.asarray(fusion.val)
+        # order each row's neighbors by weight desc (reference sorts by weight)
+        order = np.argsort(-knn_val, axis=1)
+        knn_sorted = np.take_along_axis(knn, order, axis=1)
+
+        rng = np.random.default_rng(0)
+        u_np, i_np = data.train_users_np, data.train_items_np
+        indptr = np.asarray(data.pos_indptr)
+        pos_sorted = np.asarray(data.pos_items)
+        pos_sets = [
+            set(pos_sorted[indptr[u] : indptr[u + 1]].tolist())
+            for u in range(data.n_users)
+        ]
+        pools = []
+        for u in range(data.n_users):
+            cands = []
+            seen = set()
+            for ip in pos_sorted[indptr[u] : indptr[u + 1]]:
+                for j in knn_sorted[ip, :L0]:
+                    j = int(j)
+                    if j not in pos_sets[u] and j not in seen:
+                        seen.add(j)
+                        cands.append(j)
+                if len(cands) >= 4 * K:
+                    break
+            pools.append(cands)
+
+        hard = np.zeros((len(u_np), K), dtype=np.int32)
+        for e in range(len(u_np)):
+            u, ip = int(u_np[e]), int(i_np[e])
+            negs = pools[u][:K]
+            if len(negs) < K:
+                for j in knn_sorted[ip]:
+                    j = int(j)
+                    if j not in pos_sets[u] and j not in negs:
+                        negs.append(j)
+                        if len(negs) >= K:
+                            break
+            while len(negs) < K:
+                j = int(rng.integers(0, data.n_items))
+                if j not in pos_sets[u] and j != ip and j not in negs:
+                    negs.append(j)
+            hard[e] = negs[:K]
+        ctx["edge_hard_negs"] = jnp.asarray(hard)
+        return ctx
+
+
+MODEL = SMOREDiff

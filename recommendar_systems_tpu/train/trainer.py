@@ -133,6 +133,8 @@ class Trainer:
             method="loss",
         )
         self.params = variables["params"]
+        self.net_state = dict(variables.get("state", {}))
+        self.has_net_state = bool(self.net_state)
         if self.mesh is not None:
             data = self.data
             self.params = shard_params(
@@ -151,34 +153,58 @@ class Trainer:
             "users": jnp.zeros((B,), jnp.int32),
             "pos_items": jnp.zeros((B,), jnp.int32),
             "weight": jnp.ones((B,), jnp.float32),
+            "edge_ids": jnp.zeros((B,), jnp.int32),
         }
+        if self.use_full_sampling:
+            batch.pop("pos_items")
+            batch.pop("edge_ids")
         if self.use_neg_sampling and not self.use_full_sampling:
             batch["neg_items"] = jnp.zeros((B,), jnp.int32)
         return batch
 
+    def _data_arrays(self):
+        """Training arrays passed as explicit jit args (closure-captured
+        device arrays would be embedded as HLO constants, which the axon TPU
+        backend cannot round-trip to host during lowering)."""
+        d = self.data
+        return {
+            "train_users": d.train_users,
+            "train_items": d.train_items,
+            "pos_indptr": d.pos_indptr,
+            "pos_items": d.pos_items,
+        }
+
     # ------------------------------------------------------- jitted epoch fn
-    def _apply_loss(self, params, ctx, batch, k_drop, train=True):
+    def _apply_loss(self, params, net_state, ctx, batch, k_drop, train=True):
+        """Run the model loss.  ``net_state`` is the flax 'state' collection
+        (persistent non-trainable buffers, e.g. EMA graphs); it is threaded
+        through the scan carry and updated via ``mutable`` when present."""
+        variables = {"params": params}
+        rngs = {"dropout": k_drop, "sample": k_drop, "noise": k_drop}
+        if self.has_net_state:
+            variables["state"] = net_state
+            (total, parts), new_vars = self.model.apply(
+                variables, ctx, batch, train, method="loss", rngs=rngs,
+                mutable=["state"],
+            )
+            return total, parts, new_vars.get("state", net_state)
         total, parts = self.model.apply(
-            {"params": params},
-            ctx,
-            batch,
-            train,
-            method="loss",
-            rngs={"dropout": k_drop, "sample": k_drop, "noise": k_drop},
+            variables, ctx, batch, train, method="loss", rngs=rngs
         )
-        return total, parts
+        return total, parts, net_state
 
-    def _one_update(self, params, opt_state, ctx, batch, k_drop, scale=1.0):
+    def _one_update(self, params, opt_state, net_state, ctx, batch, k_drop, scale=1.0):
         def loss_fn(p):
-            total, parts = self._apply_loss(p, ctx, batch, k_drop)
-            return total * scale, (total, parts)
+            total, parts, new_state = self._apply_loss(p, net_state, ctx, batch, k_drop)
+            return total * scale, (total, parts, new_state)
 
-        grads, (total, parts) = jax.grad(loss_fn, has_aux=True)(params)
+        grads, (total, parts, new_state) = jax.grad(loss_fn, has_aux=True)(params)
+        new_state = jax.lax.stop_gradient(new_state)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, total, parts
+        return params, opt_state, new_state, total, parts
 
-    def _train_epoch_impl(self, params, opt_state, ctx, rng):
+    def _train_epoch_impl(self, params, opt_state, net_state, ctx, arrays, rng):
         data = self.data
         B = self.batch_size
         n_steps = self.n_steps
@@ -196,7 +222,7 @@ class Trainer:
         step_ids = jnp.arange(n_steps)
 
         def step(carry, xs):
-            params, opt_state, rng = carry
+            params, opt_state, net_state, rng = carry
             idx, w, step_id = xs
             rng, k_neg, k_drop, k_drop2, k_drop3 = jax.random.split(rng, 5)
             if self.use_full_sampling:
@@ -204,13 +230,14 @@ class Trainer:
                 users = idx.astype(jnp.int32)
                 batch = {"users": users, "weight": w}
             else:
-                users = data.train_users[idx]
-                pos = data.train_items[idx]
-                batch = {"users": users, "pos_items": pos, "weight": w}
+                users = arrays["train_users"][idx]
+                pos = arrays["train_items"][idx]
+                batch = {"users": users, "pos_items": pos, "weight": w,
+                         "edge_ids": idx.astype(jnp.int32)}
                 if self.use_neg_sampling:
                     batch["neg_items"] = sample_negatives(
-                        k_neg, users, data.n_items, data.pos_indptr,
-                        data.pos_items, n_tries=self.neg_tries,
+                        k_neg, users, data.n_items, arrays["pos_indptr"],
+                        arrays["pos_items"], n_tries=self.neg_tries,
                     )
             if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -227,26 +254,29 @@ class Trainer:
             if self.mg and not self.model_mg:
                 # trainer-level MG (reference trainer.py:207-224)
                 def mg_branch(args):
-                    params, opt_state = args
-                    p1, o1, total, parts = self._one_update(
-                        params, opt_state, ctx, batch, k_drop, scale=self.alpha1
+                    params, opt_state, net_state = args
+                    p1, o1, s1, total, parts = self._one_update(
+                        params, opt_state, net_state, ctx, batch, k_drop,
+                        scale=self.alpha1,
                     )
-                    p2, o2, _, _ = self._one_update(
-                        p1, o1, ctx, batch, k_drop2, scale=-self.alpha2
+                    p2, o2, s2, _, _ = self._one_update(
+                        p1, o1, s1, ctx, batch, k_drop2, scale=-self.alpha2
                     )
-                    return p2, o2, total, parts
+                    return p2, o2, s2, total, parts
 
                 def normal_branch(args):
-                    params, opt_state = args
-                    return self._one_update(params, opt_state, ctx, batch, k_drop)
+                    params, opt_state, net_state = args
+                    return self._one_update(
+                        params, opt_state, net_state, ctx, batch, k_drop
+                    )
 
-                params, opt_state, total, parts = jax.lax.cond(
+                params, opt_state, net_state, total, parts = jax.lax.cond(
                     step_id % self.beta == 0, mg_branch, normal_branch,
-                    (params, opt_state),
+                    (params, opt_state, net_state),
                 )
             else:
-                params, opt_state, total, parts = self._one_update(
-                    params, opt_state, ctx, batch, k_drop
+                params, opt_state, net_state, total, parts = self._one_update(
+                    params, opt_state, net_state, ctx, batch, k_drop
                 )
 
             if self.model_mg:
@@ -254,7 +284,7 @@ class Trainer:
                 def mirror(args):
                     params, opt_state = args
                     grads, _ = jax.grad(
-                        lambda p: self._apply_loss(p, ctx, batch, k_drop2),
+                        lambda p: self._apply_loss(p, net_state, ctx, batch, k_drop2)[:2],
                         has_aux=True,
                     )(params)
                     grad_rms = _tree_rms(grads)
@@ -270,7 +300,7 @@ class Trainer:
                         lambda p, g: p - alpha_eff * lr * g, params, grads
                     )
                     m_grads, _ = jax.grad(
-                        lambda p: self._apply_loss(p, ctx, batch, k_drop3),
+                        lambda p: self._apply_loss(p, net_state, ctx, batch, k_drop3)[:2],
                         has_aux=True,
                     )(mirror_params)
                     anti = jax.tree_util.tree_map(
@@ -288,18 +318,21 @@ class Trainer:
                     (params, opt_state),
                 )
 
-            return (params, opt_state, rng), (total, parts)
+            return (params, opt_state, net_state, rng), (total, parts)
 
-        (params, opt_state, _), (totals, parts) = jax.lax.scan(
-            step, (params, opt_state, k_scan), (perm, weight, step_ids)
+        (params, opt_state, net_state_out, _), (totals, parts) = jax.lax.scan(
+            step,
+            (params, opt_state, net_state, k_scan),
+            (perm, weight, step_ids),
         )
-        return params, opt_state, totals, parts
+        return params, opt_state, net_state_out, totals, parts
 
     # ------------------------------------------------------------- jitted eval
-    def _eval_batch_impl(self, params, ctx, users, mask_rows, mask_items):
-        scores = self.model.apply(
-            {"params": params}, ctx, users, method="full_scores"
-        )
+    def _eval_batch_impl(self, params, net_state, ctx, users, mask_rows, mask_items):
+        variables = {"params": params}
+        if self.has_net_state:
+            variables["state"] = net_state
+        scores = self.model.apply(variables, ctx, users, method="full_scores")
         if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -342,8 +375,11 @@ class Trainer:
                     self._epoch_key, k_pre = jax.random.split(self._epoch_key)
                     self.ctx = self._pre_epoch_jit(self.ctx, k_pre)
                 self._epoch_key, k_ep = jax.random.split(self._epoch_key)
-                self.params, self.opt_state, totals, parts = self._train_epoch_jit(
-                    self.params, self.opt_state, self.ctx, k_ep
+                (
+                    self.params, self.opt_state, self.net_state, totals, parts
+                ) = self._train_epoch_jit(
+                    self.params, self.opt_state, self.net_state, self.ctx,
+                    self._data_arrays(), k_ep
                 )
                 totals = np.asarray(totals)
                 train_loss = float(totals.sum())
@@ -408,6 +444,7 @@ class Trainer:
         for b in range(bundle.n_batches):
             topk = self._eval_batch_jit(
                 self.params,
+                self.net_state,
                 self.ctx,
                 bundle.users[b],
                 bundle.mask_rows[b],

@@ -1,0 +1,100 @@
+"""End-to-end tests for the SMORE variants: SMORE1, SMOREX, SMOREMG,
+SMOREDiff, SMOREDiffX."""
+
+import numpy as np
+import pytest
+
+from recommendar_systems_tpu.data.arrays import build_data_bundle
+from recommendar_systems_tpu.data.dataset import RecDataset
+from recommendar_systems_tpu.data.synthetic import generate_synthetic
+from recommendar_systems_tpu.models import get_model
+from recommendar_systems_tpu.train.trainer import Trainer
+
+from conftest import make_config
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return generate_synthetic(
+        n_users=120, n_items=60, n_inter=2400, v_dim=24, t_dim=16, seed=11
+    )
+
+
+def run_model(model_name, ds, epochs=6, **cfg_overrides):
+    cfg = make_config(model_name, epochs=epochs, **cfg_overrides)
+    for ax in cfg["hyper_parameters"]:
+        v = cfg[ax]
+        if isinstance(v, list) and v:
+            cfg[ax] = v[0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model(model_name)
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    trainer = Trainer(cfg, model, ctx, data, mg=False)
+    trainer.init_state(1)
+    score, valid, test = trainer.fit(saved=False, verbose=False)
+    return score, valid, test, trainer
+
+
+def test_smore1_both_modalities(ds):
+    score, valid, *_ = run_model("SMORE1", ds, epochs=6)
+    assert np.isfinite(score) and score > 0.30, valid
+
+
+def test_smore1_image_only(ds):
+    ds_v = RecDataset(
+        n_users=ds.n_users, n_items=ds.n_items, splits=ds.splits,
+        v_feat=ds.v_feat, t_feat=None, dataset_name="synthetic",
+    )
+    score, valid, *_ = run_model("SMORE1", ds_v, epochs=4)
+    assert np.isfinite(score) and score > 0.2, valid
+
+
+@pytest.mark.parametrize("method", ["fft", "dwt", "wiener"])
+def test_smorex_methods(ds, method):
+    score, valid, *_ = run_model(
+        "SMOREX", ds, epochs=4, spec_method=method, wiener_alpha=0.5
+    )
+    assert np.isfinite(score) and score > 0.25, (method, valid)
+
+
+def test_smoremg_learns(ds):
+    score, valid, test, tr = run_model(
+        "SMOREMG", ds, epochs=6,
+        freq_consistency_weight=0.1, mg_consistency_weight=0.1,
+    )
+    assert np.isfinite(score) and score > 0.30, valid
+    # diagnostics export works
+    model = tr.model
+    diag = model.apply(
+        {"params": tr.params}, tr.ctx, method="export_diagnostics"
+    )
+    assert diag["image_band_energy"].shape[0] == 64 // 2 + 1
+
+
+def test_smorediff_learns(ds):
+    score, valid, *_ = run_model(
+        "SMOREDiff", ds, epochs=6, use_diffusion_mvp=True, edge_nce_lambda=0.2
+    )
+    assert np.isfinite(score) and score > 0.30, valid
+
+
+def test_smorediffx_learns(ds):
+    score, valid, test, tr = run_model("SMOREDiffX", ds, epochs=6)
+    assert np.isfinite(score) and score > 0.25, valid
+    # EMA state exists and was threaded through training
+    assert tr.has_net_state
+    assert "softR_ema" in jax_tree_keys(tr.net_state)
+
+
+def jax_tree_keys(tree):
+    keys = set()
+
+    def walk(d):
+        if hasattr(d, "items"):
+            for k, v in d.items():
+                keys.add(k)
+                walk(v)
+
+    walk(tree)
+    return keys
