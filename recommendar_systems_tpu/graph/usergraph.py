@@ -36,6 +36,42 @@ def build_user_topk_cooccurrence(
     matching `dualgnn.py:215-219`).
     """
     rng = np.random.default_rng(seed)
+
+    # native C++ path: per-user neighbor counting (native/recsys_native.cpp)
+    try:
+        import native
+
+        nat = native.cooccurrence_topk(
+            np.asarray(u), np.asarray(i), n_users, n_items, k
+        ) if native.available() else None
+    except ImportError:
+        nat = None
+    if nat is not None:
+        idx_n, w_n = nat
+        idx = np.maximum(idx_n, 0).astype(np.int32)
+        if weight_mode == "softmax":
+            masked = np.where(idx_n >= 0, w_n, -np.inf)
+            ex = np.exp(masked - masked.max(axis=1, keepdims=True))
+            ex = np.where(np.isfinite(ex), ex, 0.0)
+            denom = ex.sum(axis=1, keepdims=True)
+            w = np.where(denom > 0, ex / np.maximum(denom, 1e-12), 0.0).astype(
+                np.float32
+            )
+        else:
+            w = np.where(idx_n >= 0, 1.0 / k, 0.0).astype(np.float32)
+        # pad short rows by repeating a random own neighbor (same as below)
+        for uu in range(n_users):
+            n_real = int((idx_n[uu] >= 0).sum())
+            if 0 < n_real < k:
+                pad = rng.integers(0, n_real, k - n_real)
+                idx[uu, n_real:] = idx[uu, pad]
+                # weights: recompute softmax over padded raw counts
+                if weight_mode == "softmax":
+                    raw = np.concatenate([w_n[uu, :n_real], w_n[uu, pad]])
+                    ex = np.exp(raw - raw.max())
+                    w[uu] = (ex / ex.sum()).astype(np.float32)
+        return jnp.asarray(idx), jnp.asarray(w)
+
     R = sp.csr_matrix(
         (np.ones(len(u), np.float32), (u, i)), shape=(n_users, n_items)
     )

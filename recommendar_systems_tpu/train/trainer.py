@@ -363,6 +363,17 @@ class Trainer:
         valid_bundle = valid_bundle or self.data.valid_eval
         test_bundle = test_bundle or self.data.test_eval
 
+        # optional scalar logging (TB-equivalent, reference trainer.py:111-123)
+        writer = None
+        if self.config.get("tensorboard"):
+            from recommendar_systems_tpu.train.diagnostics import ScalarWriter
+            from recommendar_systems_tpu.utils.misc import get_local_time
+
+            writer = ScalarWriter(
+                self.config.get("tb_log_dir") or "./log/scalars",
+                f"{self.config['model']}_{self.config['dataset']}_{get_local_time()}",
+            )
+
         cur_step = 0
         for epoch_idx in range(self.epochs):
             t0 = time.time()
@@ -391,6 +402,30 @@ class Trainer:
             else:
                 train_loss = 0.0
             self.train_loss_dict[epoch_idx] = train_loss
+            if writer is not None and self.req_training:
+                scalars = {"loss/total": train_loss,
+                           "opt/lr": float(self.lr_fn(epoch_idx))}
+                for k, v in parts.items():
+                    scalars[f"loss/{k}"] = float(np.asarray(v).sum())
+                from recommendar_systems_tpu.train.diagnostics import param_norms
+
+                scalars.update(param_norms(self.params))
+                # model-provided diagnostics (reference trainer.py:459-467)
+                for meth in ("tb_diagnostics", "diagnostics"):
+                    if hasattr(self.model, meth):
+                        try:
+                            d = self.model.apply(
+                                {"params": self.params, **(
+                                    {"state": self.net_state} if self.has_net_state else {}
+                                )},
+                                self.ctx, method=meth,
+                            )
+                            for k, v in d.items():
+                                scalars[f"model/{k}"] = float(np.asarray(v).reshape(-1)[0]) if np.asarray(v).ndim else float(v)
+                        except Exception:
+                            pass
+                        break
+                writer.add_scalars(scalars, epoch_idx)
             t1 = time.time()
             if verbose:
                 ips = self.n_samples / max(t1 - t0, 1e-9)
@@ -427,6 +462,10 @@ class Trainer:
                     self.best_test_upon_valid = test_result
                     if saved:
                         self.save_checkpoint()
+                if writer is not None:
+                    writer.add_scalars(
+                        {f"valid/{k}": v for k, v in valid_result.items()}, epoch_idx
+                    )
                 if stop_flag:
                     if verbose:
                         self.logger.info(
@@ -436,6 +475,8 @@ class Trainer:
                     break
                 if not self.req_training:
                     break  # non-learned models need a single evaluation
+        if writer is not None:
+            writer.close()
         return self.best_valid_score, self.best_valid_result, self.best_test_upon_valid
 
     # ------------------------------------------------------------------ eval
