@@ -374,8 +374,40 @@ class Trainer:
                 f"{self.config['model']}_{self.config['dataset']}_{get_local_time()}",
             )
 
+        # full checkpoint/resume (new capability; reference never saves state)
+        ckpt_mgr = None
+        start_epoch = 0
+        if self.config.get("save_full_checkpoints"):
+            from recommendar_systems_tpu.train.checkpoint import CheckpointManager
+
+            ckpt_mgr = CheckpointManager(
+                os.path.join(
+                    self.config.get("checkpoint_dir", "saved"),
+                    f"{self.config['model']}-{self.config['dataset']}",
+                ),
+                max_to_keep=int(self.config.get("checkpoints_to_keep") or 3),
+            )
+            if self.config.get("resume"):
+                restored = ckpt_mgr.restore(
+                    template={
+                        "params": self.params,
+                        "opt_state": self.opt_state,
+                        "net_state": self.net_state,
+                        "extra": {"epoch": 0, "best_valid_score": -1.0},
+                    }
+                )
+                if restored is not None:
+                    self.params = restored["params"]
+                    self.opt_state = restored["opt_state"]
+                    self.net_state = restored["net_state"]
+                    start_epoch = int(restored["extra"]["epoch"]) + 1
+                    self.best_valid_score = float(
+                        restored["extra"]["best_valid_score"]
+                    )
+                    self.logger.info(f"resumed from checkpoint at epoch {start_epoch - 1}")
+
         cur_step = 0
-        for epoch_idx in range(self.epochs):
+        for epoch_idx in range(start_epoch, self.epochs):
             t0 = time.time()
             if self.req_training:
                 # per-epoch LR decay (reference trainer.py:96-99, applied per epoch)
@@ -462,6 +494,14 @@ class Trainer:
                     self.best_test_upon_valid = test_result
                     if saved:
                         self.save_checkpoint()
+                if ckpt_mgr is not None and (epoch_idx + 1) % int(
+                    self.config.get("checkpoint_every") or 1
+                ) == 0:
+                    ckpt_mgr.save(
+                        epoch_idx, self.params, self.opt_state, self.net_state,
+                        extra={"epoch": epoch_idx,
+                               "best_valid_score": float(self.best_valid_score)},
+                    )
                 if writer is not None:
                     writer.add_scalars(
                         {f"valid/{k}": v for k, v in valid_result.items()}, epoch_idx
@@ -477,6 +517,9 @@ class Trainer:
                     break  # non-learned models need a single evaluation
         if writer is not None:
             writer.close()
+        if ckpt_mgr is not None:
+            ckpt_mgr.wait()
+            ckpt_mgr.close()
         return self.best_valid_score, self.best_valid_result, self.best_test_upon_valid
 
     # ------------------------------------------------------------------ eval

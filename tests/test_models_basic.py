@@ -66,3 +66,31 @@ def test_checkpoint_roundtrip(tmp_path, ds):
     trainer.load_checkpoint()
     after = trainer.evaluate(data.test_eval)
     assert after == trainer.best_test_upon_valid
+
+
+def test_full_checkpoint_resume(tmp_path, ds):
+    """Orbax checkpoint + exact resume reproduces training state."""
+    cfg = make_config(
+        "BPR", epochs=3, reg_weight=0.001,
+        checkpoint_dir=str(tmp_path), save_full_checkpoints=True,
+        checkpoint_every=1,
+    )
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("BPR")
+    model = cls.from_config(cfg, data)
+    trainer = Trainer(cfg, model, {}, data)
+    trainer.init_state(1)
+    trainer.fit(saved=False, verbose=False)
+
+    cfg2 = make_config(
+        "BPR", epochs=5, reg_weight=0.001,
+        checkpoint_dir=str(tmp_path), save_full_checkpoints=True,
+        checkpoint_every=1, resume=True,
+    )
+    model2 = cls.from_config(cfg2, data)
+    trainer2 = Trainer(cfg2, model2, {}, data)
+    trainer2.init_state(99)  # different seed; resume must override params
+    score, valid, test = trainer2.fit(saved=False, verbose=False)
+    assert np.isfinite(score)
+    # resumed training continued from epoch 3 (only 2 more epochs recorded)
+    assert set(trainer2.train_loss_dict) == {3, 4}
