@@ -1,0 +1,137 @@
+"""Accuracy parity: our engine vs the actual reference code, same data.
+
+Runs the unmodified reference (`/root/reference/src`, torch CPU) and this
+engine on the SAME synthetic dataset with the same hyperparameters, then
+prints both valid/test metric dicts side by side.  This is the executable
+form of the SURVEY.md §4 "metric-alignment validation" strategy, usable
+without the (unshipped) Amazon datasets.
+
+Usage:
+    python tools/parity_check.py --model LightGCN --epochs 30 \
+        [--users 2000 --items 800 --inters 24000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import tempfile
+import types
+
+
+def stub_torchvision():
+    tv = types.ModuleType("torchvision")
+    tv.__path__ = []
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.__path__ = []
+    functional = types.ModuleType("torchvision.transforms.functional")
+    for name in ("Normalize", "Compose", "ToTensor", "Resize"):
+        setattr(transforms, name, lambda *a, **k: None)
+    functional.pad = lambda *a, **k: None
+    functional.resize = lambda *a, **k: None
+    tv.transforms = transforms
+    transforms.functional = functional
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", transforms)
+    sys.modules.setdefault("torchvision.transforms.functional", functional)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="LightGCN")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--users", type=int, default=2000)
+    ap.add_argument("--items", type=int, default=800)
+    ap.add_argument("--inters", type=int, default=24000)
+    ap.add_argument("--seed", type=int, default=999)
+    ap.add_argument("--overrides", default="{}", help="JSON of scalar hyperparams")
+    ap.add_argument("--skip-reference", action="store_true")
+    args = ap.parse_args()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from recommendar_systems_tpu.data.synthetic import (
+        generate_synthetic_fast,
+        write_dataset_files,
+    )
+
+    work = tempfile.mkdtemp(prefix="parity-")
+    data_dir = os.path.join(work, "data", "baby")
+    ds = generate_synthetic_fast(
+        n_users=args.users, n_items=args.items, n_inter=args.inters,
+        seed=0, name="baby", v_dim=128, t_dim=64,
+    )
+    write_dataset_files(ds, data_dir)
+    for src, dst in (("image_feat.npy", "image_feat_raw.npy"),
+                     ("text_feat.npy", "text_feat_raw.npy")):
+        s = os.path.join(data_dir, src)
+        if os.path.isfile(s):
+            import shutil
+
+            shutil.copy(s, os.path.join(data_dir, dst))
+
+    overrides = json.loads(args.overrides)
+    shared = {
+        "epochs": args.epochs,
+        "eval_step": 1,
+        "stopping_step": max(5, args.epochs),
+        "seed": [args.seed],
+        "hyper_parameters": ["seed"],
+        "save_recommended_topk": False,
+        **overrides,
+    }
+
+    # ---------------- ours ----------------
+    from recommendar_systems_tpu.quick_start import quick_start as ours_qs
+
+    ours_cfg = dict(shared)
+    ours_cfg["data_path"] = os.path.join(work, "data") + os.sep
+    ours = ours_qs(args.model, "baby", config_dict=ours_cfg, save_model=False)
+    print("\n=== OURS ===")
+    print("valid:", ours["best_valid_result"])
+    print("test: ", ours["best_test_upon_valid"])
+
+    if args.skip_reference:
+        return
+
+    # ---------------- reference ----------------
+    stub_torchvision()
+    os.symlink("/root/reference/src/configs", os.path.join(work, "configs"))
+    os.chdir(work)
+    sys.path.insert(0, "/root/reference/src")
+    logging.getLogger().handlers.clear()
+    from utils.quick_start import quick_start as ref_qs  # reference module
+
+    ref_cfg = dict(shared)
+    ref_cfg["data_path"] = os.path.join(work, "data") + os.sep
+    ref_cfg["use_gpu"] = False
+    # the reference returns nothing; capture its BEST log lines
+    import re
+
+    captured = []
+    handler = logging.Handler()
+    pat = re.compile(r"(valid|test).*?(recall@\d+.*)", re.IGNORECASE)
+
+    def emit(record):
+        captured.append(record.getMessage())
+
+    handler.emit = emit
+    logging.getLogger().addHandler(handler)
+    logging.getLogger().setLevel(logging.INFO)
+    ref_qs(model=args.model, dataset="baby", config_dict=ref_cfg,
+           save_model=False, mg=False)
+    print("\n=== REFERENCE (tail of log) ===")
+    for line in captured[-8:]:
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
