@@ -69,6 +69,29 @@ class Trainer:
         self.use_neg_sampling = bool(config.get("use_neg_sampling", True))
         self.use_full_sampling = bool(config.get("use_full_sampling", False))
         self.neg_tries = int(config.get("neg_sample_tries", 16))
+        self.use_neighborhood_loss = bool(config.get("use_neighborhood_loss", False))
+        self._nbr = None
+        if self.use_neighborhood_loss:
+            # item-item neighborhoods through shared users (reference
+            # dataloader.py:242-259): CSR of items co-interacted by any user
+            # of this item, minus itself; rows covering >80% of the catalog
+            # are invalid (dataloader.py:283-286)
+            import scipy.sparse as sp
+
+            R = sp.csr_matrix(
+                (np.ones(len(data.train_users_np), np.float32),
+                 (data.train_users_np, data.train_items_np)),
+                shape=(data.n_users, data.n_items),
+            )
+            C = (R.T @ R).tocsr()
+            C.setdiag(0)
+            C.eliminate_zeros()
+            deg = np.diff(C.indptr)
+            self._nbr = {
+                "indptr": jnp.asarray(C.indptr.astype(np.int32)),
+                "indices": jnp.asarray(C.indices.astype(np.int32)),
+                "invalid": jnp.asarray(deg / max(data.n_items, 1) > 0.8),
+            }
         self.max_k = max(config["topk"]) if isinstance(config["topk"], list) else int(config["topk"])
 
         # mirror-gradient setup
@@ -160,6 +183,9 @@ class Trainer:
             batch.pop("edge_ids")
         if self.use_neg_sampling and not self.use_full_sampling:
             batch["neg_items"] = jnp.zeros((B,), jnp.int32)
+        if self._nbr is not None and not self.use_full_sampling:
+            batch["pos_neighbors"] = jnp.zeros((B,), jnp.int32)
+            batch["neg_neighbors"] = jnp.zeros((B,), jnp.int32)
         return batch
 
     def _data_arrays(self):
@@ -238,6 +264,18 @@ class Trainer:
                     batch["neg_items"] = sample_negatives(
                         k_neg, users, data.n_items, arrays["pos_indptr"],
                         arrays["pos_items"], n_tries=self.neg_tries,
+                    )
+                if self._nbr is not None:
+                    from recommendar_systems_tpu.data.sampling import sample_from_csr
+
+                    rng, k_nb, k_nn = jax.random.split(rng, 3)
+                    batch["pos_neighbors"] = sample_from_csr(
+                        k_nb, pos, self._nbr["indptr"], self._nbr["indices"],
+                        self._nbr["invalid"],
+                    )
+                    batch["neg_neighbors"] = sample_negatives(
+                        k_nn, pos, data.n_items, self._nbr["indptr"],
+                        self._nbr["indices"],
                     )
             if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P

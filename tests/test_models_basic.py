@@ -94,3 +94,13 @@ def test_full_checkpoint_resume(tmp_path, ds):
     assert np.isfinite(score)
     # resumed training continued from epoch 3 (only 2 more epochs recorded)
     assert set(trainer2.train_loss_dict) == {3, 4}
+
+
+def test_neighborhood_sampling_batch_keys(ds):
+    """use_neighborhood_loss adds valid pos/neg neighborhood samples
+    (reference dataloader.py:277-305)."""
+    score, valid, test, trainer = run_model(
+        "BPR", ds, epochs=2, reg_weight=0.001, use_neighborhood_loss=True
+    )
+    assert np.isfinite(score)
+    assert trainer._nbr is not None
