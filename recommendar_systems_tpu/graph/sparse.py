@@ -144,12 +144,30 @@ def ell_union_max(a: ELL, b: ELL) -> ELL:
     return ELL(idx=idx_s, val=merged, n_cols=a.n_cols)
 
 
+# Global compute dtype for SpMM gathers (set from config before tracing).
+# bfloat16 halves the HBM traffic of the gather — the propagation hot path
+# is bandwidth-bound — while the segment accumulation stays float32.
+_SPMM_DTYPE = None
+
+
+def set_spmm_dtype(dtype) -> None:
+    """None (default) keeps the input dtype; jnp.bfloat16 enables mixed
+    precision.  Must be called before the train step is traced."""
+    global _SPMM_DTYPE
+    _SPMM_DTYPE = dtype
+
+
 def spmm_coo(adj: COO, x: jnp.ndarray, sorted_rows: bool = True) -> jnp.ndarray:
     """``adj @ x`` for a row-sorted COO adjacency.
 
     Replaces `torch.sparse.mm` (reference `lightgcn.py:121-123`).
     """
-    gathered = x[adj.cols] * adj.vals[:, None]
+    out_dtype = x.dtype
+    vals = adj.vals
+    if _SPMM_DTYPE is not None:
+        x = x.astype(_SPMM_DTYPE)
+        vals = vals.astype(_SPMM_DTYPE)
+    gathered = (x[adj.cols] * vals[:, None]).astype(out_dtype)
     return jax.ops.segment_sum(
         gathered,
         adj.rows,

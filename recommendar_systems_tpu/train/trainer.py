@@ -106,6 +106,12 @@ class Trainer:
         self.mg_target_rel = float(config.get("mg_target_rel_step") or 1e-3)
         self.mg_alpha_max_scale = float(config.get("mg_alpha_max_scale") or 20.0)
 
+        # mixed-precision SpMM (bandwidth-bound hot path); config knob
+        if str(config.get("compute_dtype") or "float32") == "bfloat16":
+            from recommendar_systems_tpu.graph.sparse import set_spmm_dtype
+
+            set_spmm_dtype(jnp.bfloat16)
+
         self.tx = build_optimizer(config)
         self.lr_fn = lr_schedule(config)
         self.evaluator = TopKEvaluator(config)
