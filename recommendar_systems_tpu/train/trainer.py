@@ -598,14 +598,18 @@ class Trainer:
 
     def save_checkpoint(self) -> str:
         path = self.checkpoint_path()
+        payload = {"params": self.params, "net_state": self.net_state}
         with open(path, "wb") as f:
-            f.write(serialization.to_bytes(self.params))
+            f.write(serialization.to_bytes(payload))
         return path
 
     def load_checkpoint(self, path: Optional[str] = None) -> None:
         path = path or self.checkpoint_path()
+        template = {"params": self.params, "net_state": self.net_state}
         with open(path, "rb") as f:
-            self.params = serialization.from_bytes(self.params, f.read())
+            restored = serialization.from_bytes(template, f.read())
+        self.params = restored["params"]
+        self.net_state = restored["net_state"]
 
 
 def _first(value, default):

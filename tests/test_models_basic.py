@@ -104,3 +104,12 @@ def test_neighborhood_sampling_batch_keys(ds):
     )
     assert np.isfinite(score)
     assert trainer._nbr is not None
+
+
+def test_determinism_same_seed(ds):
+    """Same seed => bit-identical training trajectory (the reference's
+    determinism hooks, SURVEY.md §4)."""
+    r1 = run_model("BPR", ds, epochs=3, reg_weight=0.001)
+    r2 = run_model("BPR", ds, epochs=3, reg_weight=0.001)
+    assert r1[1] == r2[1]  # identical valid metric dicts
+    assert list(r1[3].train_loss_dict.values()) == list(r2[3].train_loss_dict.values())
