@@ -1,0 +1,54 @@
+"""Distributed top-k over the sharded catalog axis.
+
+The eval hot path scores ``[B, n_items]`` and ranks top-k.  When the catalog
+axis is sharded over the mesh's 'model' axis (row-sharded item tables), the
+TPU-native ranking is two-stage (SURVEY.md §2.3): each shard takes a local
+top-k over its item slice, the ``m * k`` candidates are gathered, and a
+final cheap top-k merges them — collectives stay O(m*k) instead of
+all-gathering the full score matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_topk(
+    scores: jnp.ndarray, k: int, mesh: Mesh, axis: str = "model"
+):
+    """Top-k values and GLOBAL column indices of ``scores`` [B, I] whose
+    columns are (to be) sharded over ``axis``.  Returns (values, indices)
+    replicated along ``axis``."""
+    m = mesh.shape.get(axis, 1)
+    if m <= 1:
+        return jax.lax.top_k(scores, k)
+
+    n_cols = scores.shape[1]
+    shard = n_cols // m
+
+    def local(s):
+        v, i = jax.lax.top_k(s, k)
+        i = i + jax.lax.axis_index(axis) * shard
+        return v, i
+
+    other = [a for a in mesh.axis_names if a != axis]
+    in_spec = P(None, axis)
+    out_spec = P(None, axis)
+    v_cat, i_cat = jax.shard_map(
+        local, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
+        check_vma=False,
+    )(scores)
+    # v_cat/i_cat: [B, m*k] with candidates from each shard; merge
+    v_cat = jax.lax.with_sharding_constraint(
+        v_cat, NamedSharding(mesh, P())
+    )
+    i_cat = jax.lax.with_sharding_constraint(
+        i_cat, NamedSharding(mesh, P())
+    )
+    v_fin, pos = jax.lax.top_k(v_cat, k)
+    idx_fin = jnp.take_along_axis(i_cat, pos, axis=1)
+    return v_fin, idx_fin

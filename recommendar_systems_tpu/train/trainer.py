@@ -391,7 +391,21 @@ class Trainer:
         # mask train positives with -1e10 (reference trainer.py:524)
         ext = ext.at[mask_rows, mask_items].set(-1e10)
         scores = ext[:, :-1]
-        _, topk_idx = jax.lax.top_k(scores, self.max_k)
+        if (
+            self.mesh is not None
+            and self.mesh.shape.get("model", 1) > 1
+            and scores.shape[1] % self.mesh.shape["model"] == 0
+        ):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from recommendar_systems_tpu.ops.topk import distributed_topk
+
+            scores = jax.lax.with_sharding_constraint(
+                scores, NamedSharding(self.mesh, P(None, "model"))
+            )
+            _, topk_idx = distributed_topk(scores, self.max_k, self.mesh)
+        else:
+            _, topk_idx = jax.lax.top_k(scores, self.max_k)
         return topk_idx
 
     # ----------------------------------------------------------------- train

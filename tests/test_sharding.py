@@ -85,3 +85,23 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_distributed_topk_matches_plain():
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from recommendar_systems_tpu.ops.topk import distributed_topk
+
+    mesh = make_mesh([1, 8])
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(16, 640)).astype(np.float32))
+    scores = jax.device_put(scores, NamedSharding(mesh, P(None, "model")))
+    v, i = jax.jit(
+        lambda s: distributed_topk(s, 10, mesh, axis="model")
+    )(scores)
+    v_ref, i_ref = jax.lax.top_k(scores, 10)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-6)
+    # indices may differ on exact ties; values above pin correctness, and
+    # with continuous random scores ties are absent:
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
