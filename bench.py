@@ -45,26 +45,40 @@ def main() -> None:
     from recommendar_systems_tpu.train.trainer import Trainer
     from recommendar_systems_tpu.utils.configurator import Config
 
-    # candidate chain: the axon tunnel backend fails to compile some of the
-    # largest fused programs (UNIMPLEMENTED, see CLAUDE.md); fall back to the
-    # next-richest model so the driver always gets a measurement
+    # candidate chain: the axon tunnel backend fails/hangs compiling some of
+    # the largest fused programs (see CLAUDE.md); try each candidate in a
+    # watchdogged subprocess so one hung compile cannot eat the bench window
     if args.model is not None:
-        candidates = [args.model]
-    else:
-        import __graft_entry__ as ge
+        _run_one(args, args.model)
+        return
 
-        candidates = [ge._flagship_name(), "MGCN", "FREEDOM", "LightGCN"]
+    import subprocess
+    import sys as _sys
 
-    last_err = None
+    import __graft_entry__ as ge
+
+    candidates = [ge._flagship_name(), "MGCN", "FREEDOM", "LightGCN"]
+    budget = int(os.environ.get("BENCH_PER_MODEL_TIMEOUT", "900"))
     for model_name in candidates:
+        cmd = [_sys.executable, os.path.abspath(__file__), "--model", model_name,
+               "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
+               "--users", str(args.users), "--items", str(args.items),
+               "--inters", str(args.inters)] + (["--cpu"] if args.cpu else [])
         try:
-            _run_one(args, model_name)
-            return
-        except Exception as e:  # noqa: BLE001
-            last_err = e
-            print(f"# bench: {model_name} failed ({type(e).__name__}); falling back",
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=budget,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode == 0 and lines:
+                print(lines[-1])
+                return
+            print(f"# bench: {model_name} failed (rc={out.returncode}); falling back",
                   flush=True)
-    raise last_err
+        except subprocess.TimeoutExpired:
+            print(f"# bench: {model_name} timed out after {budget}s; falling back",
+                  flush=True)
+    raise SystemExit("bench: all candidates failed")
 
 
 def _run_one(args, model_name: str) -> None:
