@@ -67,3 +67,13 @@ def concat_modal_features(data) -> jnp.ndarray:
     if data.t_feat is not None:
         return data.t_feat
     raise ValueError("dataset has no modality features")
+
+
+def cfg_scalar(config, key, default=None):
+    """Scalarize a (possibly sweep-list) config value; fall back to
+    ``default`` only when the key is absent/None — NOT when it is a
+    legitimate falsy value like 0 or 0.0."""
+    v = config.get(key) if hasattr(config, "get") else config[key]
+    if isinstance(v, (list, tuple)):
+        v = v[0] if v else None
+    return default if v is None else v

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from recommendar_systems_tpu.graph.build import build_norm_adj
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import (
     Dense,
     l2_normalize,
@@ -127,10 +127,10 @@ class BM3(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            n_layers=int(_s(config["n_layers"]) or 1),
+            n_layers=int(cfg_scalar(config, "n_layers", 1)),
             reg_weight=float(_s(config["reg_weight"])),
-            cl_weight=float(config["cl_weight"] or 2.0),
-            dropout=float(_s(config["dropout"]) or 0.3),
+            cl_weight=float(cfg_scalar(config, "cl_weight", 2.0)),
+            dropout=float(cfg_scalar(config, "dropout", 0.3)),
             has_v=data.v_feat is not None,
             has_t=data.t_feat is not None,
         )

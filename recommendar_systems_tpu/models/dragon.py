@@ -20,7 +20,7 @@ from recommendar_systems_tpu.graph.usergraph import (
     build_user_topk_cooccurrence,
     user_graph_aggregate,
 )
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.dualgnn import _ModalTower, softmax_xavier
 from recommendar_systems_tpu.models.freedom import blend_modality_ells
 from recommendar_systems_tpu.models.losses import _wmean, bpr_loss_log2
@@ -94,8 +94,8 @@ class DRAGON(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            feat_embed_dim=int(config["feat_embed_dim"] or 64),
-            n_mm_layers=int(config["n_mm_layers"] or 1),
+            feat_embed_dim=int(cfg_scalar(config, "feat_embed_dim", 64)),
+            n_mm_layers=int(cfg_scalar(config, "n_mm_layers", 1)),
             reg_weight=float(_s(config["reg_weight"])),
             has_v=data.v_feat is not None,
             has_t=data.t_feat is not None,
@@ -105,8 +105,8 @@ class DRAGON(RecModel):
     def build_ctx(cls, config, data):
         import os
 
-        knn_k = int(config["knn_k"] or 10)
-        w_img = float(config["mm_image_weight"] or 0.1)
+        knn_k = int(cfg_scalar(config, "knn_k", 10))
+        w_img = float(cfg_scalar(config, "mm_image_weight", 0.1))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         img = build_knn_ell(
             data.v_feat, knn_k, weighted=False,

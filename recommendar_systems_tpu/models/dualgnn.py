@@ -29,7 +29,7 @@ from recommendar_systems_tpu.graph.usergraph import (
     build_user_topk_cooccurrence,
     user_graph_aggregate,
 )
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, l2_normalize, xavier_normal
 from recommendar_systems_tpu.models.losses import _wmean, bpr_loss_log2
 
@@ -160,7 +160,7 @@ class DualGNN(RecModel):
 
     @classmethod
     def build_ctx(cls, config, data):
-        k = int(config.get("user_graph_k") or 40)  # `dualgnn.py:34`
+        k = int(cfg_scalar(config, "user_graph_k", 40))  # `dualgnn.py:34`
         ug_idx, ug_w = build_user_topk_cooccurrence(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items,
             k=k, weight_mode=str(config.get("user_aggr_mode") or "softmax"),

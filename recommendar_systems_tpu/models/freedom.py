@@ -29,7 +29,7 @@ from recommendar_systems_tpu.graph.build import (
 )
 from recommendar_systems_tpu.graph.knn import build_knn_ell
 from recommendar_systems_tpu.graph.sparse import ELL, spmm
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import (
     Dense,
     lightgcn_propagate,
@@ -144,8 +144,8 @@ class FREEDOM(RecModel):
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
             feat_embed_dim=int(config["feat_embed_dim"] or config["embedding_size"]),
-            n_mm_layers=int(config["n_mm_layers"] or 1),
-            n_ui_layers=int(config["n_ui_layers"] or 2),
+            n_mm_layers=int(cfg_scalar(config, "n_mm_layers", 1)),
+            n_ui_layers=int(cfg_scalar(config, "n_ui_layers", 2)),
             reg_weight=float(config["reg_weight"]),
             has_v=data.v_feat is not None,
             has_t=data.t_feat is not None,
@@ -153,8 +153,8 @@ class FREEDOM(RecModel):
 
     @classmethod
     def build_ctx(cls, config, data):
-        knn_k = int(config["knn_k"] or 10)
-        w_img = float(config["mm_image_weight"] or 0.1)
+        knn_k = int(cfg_scalar(config, "knn_k", 10))
+        w_img = float(cfg_scalar(config, "mm_image_weight", 0.1))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         norm_adj = build_norm_adj(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items
@@ -198,7 +198,7 @@ class FREEDOM(RecModel):
 
     @classmethod
     def pre_epoch(cls, ctx, rng, config):
-        dropout = float(config.get("dropout") or 0.0)
+        dropout = float(cfg_scalar(config, "dropout", 0.0))
         if isinstance(config.get("dropout"), list):
             dropout = float(config["dropout"][0])
         if dropout <= 0.0:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, l2_normalize, xavier_normal
 from recommendar_systems_tpu.models.losses import _wmean
 from recommendar_systems_tpu.ops.seg import scatter_weighted_sum, segment_softmax
@@ -171,8 +171,8 @@ class GRCN(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            latent_embedding=int(config["latent_embedding"] or 64),
-            num_routing=int(_s(config["n_layers"]) or 3),
+            latent_embedding=int(cfg_scalar(config, "latent_embedding", 64)),
+            num_routing=int(cfg_scalar(config, "n_layers", 3)),
             reg_weight=float(_s(config["reg_weight"])),
             has_v=data.v_feat is not None,
             has_t=data.t_feat is not None,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 
 
 class ItemKNNCBF(RecModel):
@@ -44,7 +44,7 @@ class ItemKNNCBF(RecModel):
 
     @classmethod
     def build_ctx(cls, config, data):
-        knn_k = int(config["knn_k"] or 10)
+        knn_k = int(cfg_scalar(config, "knn_k", 10))
         shrink = float(config["shrink"] if config["shrink"] is not None else 0.0)
         feats = []
         if data.v_feat is not None:

@@ -23,7 +23,7 @@ from flax import linen as nn
 from recommendar_systems_tpu.graph.build import build_rw_adj_selfloop
 from recommendar_systems_tpu.graph.knn import build_sim_topk, knn_normalized_ell
 from recommendar_systems_tpu.graph.sparse import ELL, spmm, spmm_ell
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import (
     Dense,
     l2_normalize,
@@ -165,10 +165,10 @@ class LATTICE(RecModel):
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
             feat_embed_dim=int(config["feat_embed_dim"] or config["embedding_size"]),
-            knn_k=int(config["knn_k"] or 10),
-            lambda_coeff=float(config["lambda_coeff"] or 0.9),
+            knn_k=int(cfg_scalar(config, "knn_k", 10)),
+            lambda_coeff=float(cfg_scalar(config, "lambda_coeff", 0.9)),
             cf_model=str(config.get("cf_model") or "lightgcn"),
-            n_layers=int(_s(config["n_layers"]) or 1),
+            n_layers=int(cfg_scalar(config, "n_layers", 1)),
             n_ui_layers=len(config["weight_size"] or [64, 64]),
             reg_weight=float(_s(config["reg_weight"])),
             mess_dropout=tuple(config.get("mess_dropout") or (0.1, 0.1)),
@@ -179,7 +179,7 @@ class LATTICE(RecModel):
     def build_ctx(cls, config, data):
         import os
 
-        knn_k = int(config["knn_k"] or 10)
+        knn_k = int(cfg_scalar(config, "knn_k", 10))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         # frozen per-modality graphs: raw-feature topk sim + normalized
         # laplacian (`lattice.py:67-87`)

@@ -20,7 +20,7 @@ from recommendar_systems_tpu.graph.build import (
     sym_coo_with_perm,
 )
 from recommendar_systems_tpu.graph.sparse import spmm
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.freedom import degree_weighted_edge_dropout
 from recommendar_systems_tpu.models.layers import l2_normalize, xavier_uniform
 from recommendar_systems_tpu.models.losses import l2_loss
@@ -84,7 +84,7 @@ class LayerGCN(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            n_layers=int(_s(config["n_layers"]) or 4),
+            n_layers=int(cfg_scalar(config, "n_layers", 4)),
             reg_weight=float(_s(config["reg_weight"])),
         )
 
@@ -112,7 +112,7 @@ class LayerGCN(RecModel):
 
     @classmethod
     def pre_epoch(cls, ctx, rng, config):
-        dropout = config.get("dropout") or 0.0
+        dropout = cfg_scalar(config, "dropout", 0.0)
         if isinstance(dropout, list):
             dropout = dropout[0]
         dropout = float(dropout)

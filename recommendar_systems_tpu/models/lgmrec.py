@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from recommendar_systems_tpu.graph.build import build_norm_adj
 from recommendar_systems_tpu.graph.sparse import COO, spmm
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import l2_normalize, xavier_uniform
 from recommendar_systems_tpu.models.losses import bpr_loss, emb_loss
 
@@ -164,14 +164,14 @@ class LGMRec(RecModel):
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
             feat_embed_dim=int(config["feat_embed_dim"] or config["embedding_size"]),
-            n_mm_layers=int(_s(config["n_mm_layers"]) or 2),
-            n_ui_layers=int(_s(config["n_ui_layers"]) or 2),
-            n_hyper_layer=int(_s(config["n_hyper_layer"]) or 1),
-            hyper_num=int(_s(config["hyper_num"]) or 4),
-            keep_rate=float(_s(config["keep_rate"]) or 0.5),
-            alpha=float(_s(config["alpha"]) or 0.3),
-            cl_weight=float(_s(config["cl_weight"]) or 1e-4),
-            reg_weight=float(_s(config["reg_weight"]) or 1e-6),
+            n_mm_layers=int(cfg_scalar(config, "n_mm_layers", 2)),
+            n_ui_layers=int(cfg_scalar(config, "n_ui_layers", 2)),
+            n_hyper_layer=int(cfg_scalar(config, "n_hyper_layer", 1)),
+            hyper_num=int(cfg_scalar(config, "hyper_num", 4)),
+            keep_rate=float(cfg_scalar(config, "keep_rate", 0.5)),
+            alpha=float(cfg_scalar(config, "alpha", 0.3)),
+            cl_weight=float(cfg_scalar(config, "cl_weight", 1e-4)),
+            reg_weight=float(cfg_scalar(config, "reg_weight", 1e-6)),
             v_dim=int(data.v_feat.shape[1]),
             t_dim=int(data.t_feat.shape[1]),
         )

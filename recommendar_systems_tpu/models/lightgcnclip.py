@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from recommendar_systems_tpu.graph.build import build_norm_adj
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import (
     Dense,
     l2_normalize,
@@ -135,7 +135,7 @@ class LightGCNCLIP(RecModel):
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
             feat_embed_dim=int(config.get("feat_embed_dim") or config["embedding_size"]),
-            n_layers=int(_s(config["n_layers"]) or 4),
+            n_layers=int(cfg_scalar(config, "n_layers", 4)),
             reg_weight=float(_s(config["reg_weight"])),
             use_branch_norm=bool(
                 True if config.get("use_branch_norm") is None
@@ -145,10 +145,10 @@ class LightGCNCLIP(RecModel):
                 True if config.get("use_degree_gate") is None
                 else config.get("use_degree_gate")
             ),
-            modal_drop_rate=float(config.get("modal_drop_rate") or 0.0),
-            res_alpha_init=float(config.get("res_alpha") or 0.2),
-            res_alpha_min=float(config.get("res_alpha_min") or 0.0),
-            mod_align_weight=float(config.get("mod_align_weight") or 0.0),
+            modal_drop_rate=float(cfg_scalar(config, "modal_drop_rate", 0.0)),
+            res_alpha_init=float(cfg_scalar(config, "res_alpha", 0.2)),
+            res_alpha_min=float(cfg_scalar(config, "res_alpha_min", 0.0)),
+            mod_align_weight=float(cfg_scalar(config, "mod_align_weight", 0.0)),
             mod_align_use_cosine=bool(
                 True if config.get("mod_align_use_cosine") is None
                 else config.get("mod_align_use_cosine")

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from recommendar_systems_tpu.graph.build import build_norm_adj
 from recommendar_systems_tpu.graph.knn import build_knn_ell
 from recommendar_systems_tpu.graph.sparse import spmm
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.dualgnn import _ModalTower, softmax_xavier
 from recommendar_systems_tpu.models.freedom import blend_modality_ells
 from recommendar_systems_tpu.models.layers import (
@@ -186,22 +186,22 @@ class MENTOR(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            feat_embed_dim=int(config["feat_embed_dim"] or 64),
-            n_mm_layers=int(config["n_mm_layers"] or 1),
+            feat_embed_dim=int(cfg_scalar(config, "feat_embed_dim", 64)),
+            n_mm_layers=int(cfg_scalar(config, "n_mm_layers", 1)),
             reg_weight=float(_s(config["reg_weight"])),
-            align_weight=float(_s(config["align_weight"]) or 0.1),
-            mask_weight_f=float(_s(config["mask_weight_f"]) or 1.5),
-            mask_weight_g=float(_s(config["mask_weight_g"]) or 0.001),
-            temp=float(_s(config["temp"]) or 0.4),
-            dropout=float(_s(config["dropout"]) or 0.5),
+            align_weight=float(cfg_scalar(config, "align_weight", 0.1)),
+            mask_weight_f=float(cfg_scalar(config, "mask_weight_f", 1.5)),
+            mask_weight_g=float(cfg_scalar(config, "mask_weight_g", 0.001)),
+            temp=float(cfg_scalar(config, "temp", 0.4)),
+            dropout=float(cfg_scalar(config, "dropout", 0.5)),
         )
 
     @classmethod
     def build_ctx(cls, config, data):
         import os
 
-        knn_k = int(config["knn_k"] or 10)
-        w_img = float(config["mm_image_weight"] or 0.1)
+        knn_k = int(cfg_scalar(config, "knn_k", 10))
+        w_img = float(cfg_scalar(config, "mm_image_weight", 0.1))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         img = build_knn_ell(
             data.v_feat, knn_k, weighted=False,

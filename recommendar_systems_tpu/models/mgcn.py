@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from recommendar_systems_tpu.graph.build import build_norm_adj, build_norm_ui
 from recommendar_systems_tpu.graph.knn import build_knn_ell
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, xavier_uniform
 from recommendar_systems_tpu.models.losses import batch_sq_reg, bpr_loss, infonce
 from recommendar_systems_tpu.models.multiview import (
@@ -117,8 +117,8 @@ class MGCN(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            n_ui_layers=int(_s(config["n_ui_layers"]) or 2),
-            n_layers=int(_s(config["n_layers"]) or 1),
+            n_ui_layers=int(cfg_scalar(config, "n_ui_layers", 2)),
+            n_layers=int(cfg_scalar(config, "n_layers", 1)),
             reg_weight=float(_s(config["reg_weight"])),
             cl_loss=float(_s(config["cl_loss"])),
             batch_size=int(config["train_batch_size"]),
@@ -128,7 +128,7 @@ class MGCN(RecModel):
     def build_ctx(cls, config, data):
         import os
 
-        knn_k = int(config["knn_k"] or 10)
+        knn_k = int(cfg_scalar(config, "knn_k", 10))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         return {
             "norm_adj": build_norm_adj(

@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from recommendar_systems_tpu.graph.build import build_rw_adj_selfloop
 from recommendar_systems_tpu.graph.sparse import spmm
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, l2_normalize, xavier_normal
 from recommendar_systems_tpu.models.losses import _wmean
 
@@ -170,7 +170,7 @@ class MVGAE(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            n_layers=int(_s(config["n_layers"]) or 2),
+            n_layers=int(cfg_scalar(config, "n_layers", 2)),
             beta=float(_s(config.get("beta")) if config.get("beta") is not None else 0.1),
         )
 

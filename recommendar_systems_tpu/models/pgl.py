@@ -28,7 +28,7 @@ from recommendar_systems_tpu.graph.build import (
 )
 from recommendar_systems_tpu.graph.knn import build_knn_ell
 from recommendar_systems_tpu.graph.sparse import LowRank, spmm, spmm_coo
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.freedom import (
     blend_modality_ells,
     degree_weighted_edge_dropout,
@@ -123,10 +123,10 @@ class PGL(RecModel):
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
             feat_embed_dim=int(config["feat_embed_dim"] or config["embedding_size"]),
-            n_mm_layers=int(config["n_mm_layers"] or 1),
-            n_ui_layers=int(config["n_ui_layers"] or 2),
-            reg_weight=float(_s(config["reg_weight"]) or 0.0),
-            dropout=float(_s(config["dropout"]) or 0.2),
+            n_mm_layers=int(cfg_scalar(config, "n_mm_layers", 1)),
+            n_ui_layers=int(cfg_scalar(config, "n_ui_layers", 2)),
+            reg_weight=float(cfg_scalar(config, "reg_weight", 0.0)),
+            dropout=float(cfg_scalar(config, "dropout", 0.2)),
             mode=str(_s(config["mode"]) or "local"),
         )
 
@@ -137,8 +137,8 @@ class PGL(RecModel):
         def _s(v):
             return v[0] if isinstance(v, list) else v
 
-        knn_k = int(config["knn_k"] or 10)
-        w_img = float(config["mm_image_weight"] or 0.1)
+        knn_k = int(cfg_scalar(config, "knn_k", 10))
+        w_img = float(cfg_scalar(config, "mm_image_weight", 0.1))
         mode = str(_s(config["mode"]) or "local")
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         norm_adj = build_norm_adj(

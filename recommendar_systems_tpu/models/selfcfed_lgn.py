@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from recommendar_systems_tpu.graph.build import build_norm_adj
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import (
     Dense,
     l2_normalize,
@@ -102,9 +102,9 @@ class SELFCFED_LGN(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            n_layers=int(_s(config["n_layers"]) or 3),
-            dropout=float(_s(config["dropout"]) or 0.5),
-            reg_weight=float(_s(config["reg_weight"]) or 1e-4),
+            n_layers=int(cfg_scalar(config, "n_layers", 3)),
+            dropout=float(cfg_scalar(config, "dropout", 0.5)),
+            reg_weight=float(cfg_scalar(config, "reg_weight", 1e-4)),
         )
 
     @classmethod

@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from recommendar_systems_tpu.graph.build import build_norm_adj
 from recommendar_systems_tpu.graph.sparse import spmm
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import (
     Dense,
     l2_normalize,
@@ -212,12 +212,12 @@ class SLMRec(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             latent_dim=int(config["recdim"] or config["embedding_size"]),
-            n_layers=int(config["layer_num"] or 3),
-            temp=float(config["temp"] or 0.2),
-            ssl_temp=float(_s(config["ssl_temp"]) or 0.1),
-            ssl_alpha=float(_s(config["ssl_alpha"]) or 0.01),
+            n_layers=int(cfg_scalar(config, "layer_num", 3)),
+            temp=float(cfg_scalar(config, "temp", 0.2)),
+            ssl_temp=float(cfg_scalar(config, "ssl_temp", 0.1)),
+            ssl_alpha=float(cfg_scalar(config, "ssl_alpha", 0.01)),
             ssl_task=str(config["ssl_task"] or "FAC"),
-            dropout_rate=float(config["dropout_rate"] or 0.3),
+            dropout_rate=float(cfg_scalar(config, "dropout_rate", 0.3)),
             mm_fusion_mode=str(config["mm_fusion_mode"] or "concat"),
             has_v=data.v_feat is not None,
             has_t=data.t_feat is not None,

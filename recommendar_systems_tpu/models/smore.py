@@ -29,7 +29,7 @@ from flax import linen as nn
 from recommendar_systems_tpu.graph.build import build_norm_adj, build_norm_ui
 from recommendar_systems_tpu.graph.knn import build_knn_ell
 from recommendar_systems_tpu.graph.sparse import ell_union_max
-from recommendar_systems_tpu.models.base import RecModel
+from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, xavier_uniform
 from recommendar_systems_tpu.models.losses import batch_sq_reg, bpr_loss, infonce
 from recommendar_systems_tpu.models.multiview import (
@@ -218,14 +218,14 @@ class SMORE(RecModel):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            n_ui_layers=int(_s(config["n_ui_layers"]) or 4),
-            n_layers=int(_s(config["n_layers"]) or 1),
+            n_ui_layers=int(cfg_scalar(config, "n_ui_layers", 4)),
+            n_layers=int(cfg_scalar(config, "n_layers", 1)),
             reg_weight=float(_s(config["reg_weight"])),
             cl_loss=float(_s(config["cl_loss"])),
-            cl_temp=float(config.get("cl_temp") or 0.2),
-            dropout_rate=float(_s(config["dropout_rate"]) or 0.1),
+            cl_temp=float(cfg_scalar(config, "cl_temp", 0.2)),
+            dropout_rate=float(cfg_scalar(config, "dropout_rate", 0.1)),
             inject_mode=str(config.get("inject_mode") or "residual"),
-            inject_scale=float(config.get("inject_scale") or 0.7),
+            inject_scale=float(cfg_scalar(config, "inject_scale", 0.7)),
             spectral_weight_norm=bool(
                 config.get("spectral_weight_norm", True)
             ),
@@ -239,8 +239,8 @@ class SMORE(RecModel):
         def _s(v):
             return v[0] if isinstance(v, list) else v
 
-        image_k = int(_s(config["image_knn_k"]) or 20)
-        text_k = int(_s(config["text_knn_k"]) or 15)
+        image_k = int(cfg_scalar(config, "image_knn_k", 20))
+        text_k = int(cfg_scalar(config, "text_knn_k", 15))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         image_adj = build_knn_ell(
             data.v_feat, image_k, cache_dir=cache_dir, cache_key="image"

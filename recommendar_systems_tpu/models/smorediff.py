@@ -14,6 +14,8 @@ SMORE ('mul' injection, selectable spec_method like SMOREX) plus:
 
 from __future__ import annotations
 
+from recommendar_systems_tpu.models.base import cfg_scalar
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -184,10 +186,10 @@ class SMOREDiff(SMOREX):
         kw = SMOREX.config_kwargs.__func__(cls, config, data)
         kw.update(
             use_diffusion_mvp=bool(config.get("use_diffusion_mvp") or False),
-            diff_beta=float(_s(config.get("diff_beta")) or 0.5),
-            diff_temp=float(config.get("diff_temp") or 0.6),
-            diff_gamma=float(config.get("diff_gamma") or 1.2),
-            diff_z_thres=float(config.get("diff_z_thres") or 0.5),
+            diff_beta=float(cfg_scalar(config, "diff_beta", 0.5)),
+            diff_temp=float(cfg_scalar(config, "diff_temp", 0.6)),
+            diff_gamma=float(cfg_scalar(config, "diff_gamma", 1.2)),
+            diff_z_thres=float(cfg_scalar(config, "diff_z_thres", 0.5)),
             diff_only_down=bool(
                 True if config.get("diff_only_down") is None
                 else _s(config.get("diff_only_down"))
@@ -200,8 +202,8 @@ class SMOREDiff(SMOREX):
                 True if config.get("use_edge_nce") is None
                 else config.get("use_edge_nce")
             ),
-            edge_nce_k=int(config.get("edge_nce_k") or 5),
-            edge_nce_temp=float(config.get("edge_nce_temp") or 0.6),
+            edge_nce_k=int(cfg_scalar(config, "edge_nce_k", 5)),
+            edge_nce_temp=float(cfg_scalar(config, "edge_nce_temp", 0.6)),
             edge_nce_lambda=float(
                 0.2 if config.get("edge_nce_lambda") is None
                 else config.get("edge_nce_lambda")
@@ -210,7 +212,7 @@ class SMOREDiff(SMOREX):
                 True if config.get("edge_inbatch_negs") is None
                 else config.get("edge_inbatch_negs")
             ),
-            edge_inbatch_ratio=int(config.get("edge_inbatch_ratio") or 2),
+            edge_inbatch_ratio=int(cfg_scalar(config, "edge_inbatch_ratio", 2)),
         )
         return kw
 
@@ -227,8 +229,8 @@ class SMOREDiff(SMOREX):
         # 188-205`): user candidate pool = fusion-kNN neighbors of the user's
         # positives minus positives; fall back to the positive's own kNN then
         # random
-        K = int(config.get("edge_nce_k") or 5)
-        L0 = int(config.get("edge_user_pool_L0") or 50)
+        K = int(cfg_scalar(config, "edge_nce_k", 5))
+        L0 = int(cfg_scalar(config, "edge_user_pool_L0", 50))
         fusion = ctx["fusion_adj"]
         knn = np.asarray(fusion.idx)  # [I, 2k] neighbor ids sorted by col
         knn_val = np.asarray(fusion.val)

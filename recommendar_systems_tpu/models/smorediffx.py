@@ -20,6 +20,8 @@ Extends SMOREDiff with:
 
 from __future__ import annotations
 
+from recommendar_systems_tpu.models.base import cfg_scalar
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -209,20 +211,20 @@ class SMOREDiffX(SMOREDiff):
                 True if config.get("noise_recipe_on") is None
                 else _s(config.get("noise_recipe_on"))
             ),
-            nr_topk_fake=int(config.get("nr_topk_fake") or 5),
+            nr_topk_fake=int(cfg_scalar(config, "nr_topk_fake", 5)),
             dsp_mode=str(_s(config.get("dsp_mode")) or "fft_mask"),
-            fft_keep_ratio=float(config.get("fft_keep_ratio") or 0.5),
-            wavelet_thr=float(config.get("wavelet_thr") or 0.05),
+            fft_keep_ratio=float(cfg_scalar(config, "fft_keep_ratio", 0.5)),
+            wavelet_thr=float(cfg_scalar(config, "wavelet_thr", 0.05)),
             loss_sched_on=bool(
                 True if config.get("loss_sched_on") is None
                 else config.get("loss_sched_on")
             ),
-            total_epochs=int(config.get("epochs") or 200),
-            beta_min=float(config.get("beta_min") or 0.05),
-            beta_max=float(config.get("beta_max") or 0.30),
-            beta_warmup=int(config.get("beta_warmup_ep") or 10),
-            beta_hold=int(config.get("beta_hold_ep") or 20),
-            beta_decay=int(config.get("beta_decay_ep") or 60),
+            total_epochs=int(cfg_scalar(config, "epochs", 200)),
+            beta_min=float(cfg_scalar(config, "beta_min", 0.05)),
+            beta_max=float(cfg_scalar(config, "beta_max", 0.30)),
+            beta_warmup=int(cfg_scalar(config, "beta_warmup_ep", 10)),
+            beta_hold=int(cfg_scalar(config, "beta_hold_ep", 20)),
+            beta_decay=int(cfg_scalar(config, "beta_decay_ep", 60)),
             use_cosine_decay=bool(
                 True if config.get("use_cosine_decay") is None
                 else config.get("use_cosine_decay")
@@ -234,7 +236,7 @@ class SMOREDiffX(SMOREDiff):
                 True if config.get("use_softR_ema") is None
                 else config.get("use_softR_ema")
             ),
-            softR_ema_tau=float(config.get("softR_ema_tau") or 0.2),
+            softR_ema_tau=float(cfg_scalar(config, "softR_ema_tau", 0.2)),
             renorm_softR=bool(
                 True if config.get("renorm_softR") is None
                 else config.get("renorm_softR")

@@ -16,6 +16,8 @@ SMORE plus:
 
 from __future__ import annotations
 
+from recommendar_systems_tpu.models.base import cfg_scalar
+
 from typing import Any, Dict
 
 import jax
@@ -167,20 +169,20 @@ class SMOREMG(SMORE):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            n_ui_layers=int(_s(config["n_ui_layers"]) or 4),
-            n_layers=int(_s(config["n_layers"]) or 1),
+            n_ui_layers=int(cfg_scalar(config, "n_ui_layers", 4)),
+            n_layers=int(cfg_scalar(config, "n_layers", 1)),
             reg_weight=float(_s(config["reg_weight"])),
             cl_loss=float(_s(config["cl_loss"])),
-            dropout_rate=float(_s(config["dropout_rate"]) or 0.1),
+            dropout_rate=float(cfg_scalar(config, "dropout_rate", 0.1)),
             batch_size=int(config["train_batch_size"]),
             use_freq_residual=bool(
                 True if config.get("use_freq_residual") is None
                 else config.get("use_freq_residual")
             ),
-            freq_residual_alpha=float(config.get("freq_residual_alpha") or 0.25),
-            low_freq_ratio=float(config.get("low_freq_ratio") or 0.15),
-            freq_consistency_weight=float(config.get("freq_consistency_weight") or 0.0),
-            mg_consistency_weight=float(config.get("mg_consistency_weight") or 0.0),
+            freq_residual_alpha=float(cfg_scalar(config, "freq_residual_alpha", 0.25)),
+            low_freq_ratio=float(cfg_scalar(config, "low_freq_ratio", 0.15)),
+            freq_consistency_weight=float(cfg_scalar(config, "freq_consistency_weight", 0.0)),
+            mg_consistency_weight=float(cfg_scalar(config, "mg_consistency_weight", 0.0)),
         )
 
 

@@ -13,6 +13,8 @@ Injection is multiplicative (original SMORE style, `smorex.py:294-296`).
 
 from __future__ import annotations
 
+from recommendar_systems_tpu.models.base import cfg_scalar
+
 import jax.numpy as jnp
 
 from recommendar_systems_tpu.models.smore import SMORE
@@ -84,21 +86,21 @@ class SMOREX(SMORE):
             n_users=data.n_users,
             n_items=data.n_items,
             embedding_size=int(config["embedding_size"]),
-            n_ui_layers=int(_s(config["n_ui_layers"]) or 4),
-            n_layers=int(_s(config["n_layers"]) or 1),
+            n_ui_layers=int(cfg_scalar(config, "n_ui_layers", 4)),
+            n_layers=int(cfg_scalar(config, "n_layers", 1)),
             reg_weight=float(_s(config["reg_weight"])),
             cl_loss=float(_s(config["cl_loss"])),
-            cl_temp=float(config.get("cl_temp") or 0.2),
-            dropout_rate=float(_s(config["dropout_rate"]) or 0.1),
+            cl_temp=float(cfg_scalar(config, "cl_temp", 0.2)),
+            dropout_rate=float(cfg_scalar(config, "dropout_rate", 0.1)),
             inject_mode="mul",  # `smorex.py:294-296`
             spectral_weight_norm=False,
             batch_size=int(config["train_batch_size"]),
             spec_method=str(_s(config.get("spec_method")) or "fft").lower(),
-            dwt_keep_ratio=float(_s(config.get("dwt_keep_ratio")) or 0.5),
+            dwt_keep_ratio=float(cfg_scalar(config, "dwt_keep_ratio", 0.5)),
             dwt_use_softthr=bool(config.get("dwt_use_softthr") or False),
-            dwt_softthr_k=float(config.get("dwt_softthr_k") or 0.0),
-            wiener_alpha=float(_s(config.get("wiener_alpha")) or 0.5),
-            wiener_eps=float(config.get("wiener_eps") or 1e-6),
+            dwt_softthr_k=float(cfg_scalar(config, "dwt_softthr_k", 0.0)),
+            wiener_alpha=float(cfg_scalar(config, "wiener_alpha", 0.5)),
+            wiener_eps=float(cfg_scalar(config, "wiener_eps", 1e-6)),
         )
 
     @classmethod

@@ -23,6 +23,8 @@ Mirror-Gradient parity:
 
 from __future__ import annotations
 
+from recommendar_systems_tpu.models.base import cfg_scalar
+
 import os
 import time
 from logging import getLogger
@@ -60,7 +62,7 @@ class Trainer:
         self.logger = getLogger()
 
         self.epochs = int(config["epochs"])
-        self.eval_step = min(int(config["eval_step"] or 1), self.epochs)
+        self.eval_step = min(int(cfg_scalar(config, "eval_step", 1)), self.epochs)
         self.stopping_step = int(config["stopping_step"])
         self.valid_metric = str(config["valid_metric"]).lower()
         self.valid_metric_bigger = bool(config["valid_metric_bigger"])
@@ -97,14 +99,14 @@ class Trainer:
         # mirror-gradient setup
         self.mg = bool(mg)
         self.model_mg = bool(config.get("mg_enable", False))
-        self.alpha1 = float(config.get("alpha1") or 1.0)
+        self.alpha1 = float(cfg_scalar(config, "alpha1", 1.0))
         self.alpha2 = float(_first(config.get("alpha2"), 0.2))
         self.beta = int(_first(config.get("beta"), 3))
-        self.mg_interval = int(config.get("mg_interval") or 3)
-        self.mg_alpha = float(config.get("mg_alpha") or 0.5)
-        self.mg_beta = float(config.get("mg_beta") or 0.2)
-        self.mg_target_rel = float(config.get("mg_target_rel_step") or 1e-3)
-        self.mg_alpha_max_scale = float(config.get("mg_alpha_max_scale") or 20.0)
+        self.mg_interval = int(cfg_scalar(config, "mg_interval", 3))
+        self.mg_alpha = float(cfg_scalar(config, "mg_alpha", 0.5))
+        self.mg_beta = float(cfg_scalar(config, "mg_beta", 0.2))
+        self.mg_target_rel = float(cfg_scalar(config, "mg_target_rel_step", 1e-3))
+        self.mg_alpha_max_scale = float(cfg_scalar(config, "mg_alpha_max_scale", 20.0))
 
         # mixed-precision SpMM (bandwidth-bound hot path); config knob
         if str(config.get("compute_dtype") or "float32") == "bfloat16":
@@ -443,7 +445,7 @@ class Trainer:
                     self.config.get("checkpoint_dir", "saved"),
                     f"{self.config['model']}-{self.config['dataset']}",
                 ),
-                max_to_keep=int(self.config.get("checkpoints_to_keep") or 3),
+                max_to_keep=int(cfg_scalar(self.config, "checkpoints_to_keep", 3)),
             )
             if self.config.get("resume"):
                 restored = ckpt_mgr.restore(
@@ -553,7 +555,7 @@ class Trainer:
                     if saved:
                         self.save_checkpoint()
                 if ckpt_mgr is not None and (epoch_idx + 1) % int(
-                    self.config.get("checkpoint_every") or 1
+                    cfg_scalar(self.config, "checkpoint_every", 1)
                 ) == 0:
                     ckpt_mgr.save(
                         epoch_idx, self.params, self.opt_state, self.net_state,
