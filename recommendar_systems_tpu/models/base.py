@@ -37,7 +37,23 @@ class RecModel(nn.Module):
         raise NotImplementedError
 
     def full_scores(self, ctx: Dict[str, Any], users: jnp.ndarray) -> jnp.ndarray:
+        """[B, n_items] scores; default composes ``eval_embeddings``."""
+        ue, ie = self.eval_embeddings(ctx)
+        return ue[users] @ ie.T
+
+    def eval_embeddings(self, ctx: Dict[str, Any]):
+        """(user_emb, item_emb) such that scores = ue[users] @ ie.T.
+
+        The trainer computes this ONCE per evaluation pass and reuses it for
+        every user batch — the reference recomputes the full-graph forward
+        per batch (`trainer.py:519-527`); ranking semantics are identical
+        because eval-time propagation is deterministic.  Models whose
+        scoring is not a plain dot product keep ``has_eval_embeddings =
+        False`` and the trainer falls back to per-batch ``full_scores``.
+        """
         raise NotImplementedError
+
+    has_eval_embeddings: bool = True
 
     # -- host-side construction --------------------------------------------
     @classmethod

@@ -112,11 +112,9 @@ class BM3(RecModel):
             "modal": loss_t + loss_v + loss_tv + loss_vt,
         }
 
-    def full_scores(self, ctx, users):
+    def eval_embeddings(self, ctx):
         u_online, i_online = self.propagate(ctx)
-        u_online = self.predictor(u_online)
-        i_online = self.predictor(i_online)
-        return u_online[users] @ i_online.T
+        return self.predictor(u_online), self.predictor(i_online)
 
     @classmethod
     def from_config(cls, config, data) -> "BM3":

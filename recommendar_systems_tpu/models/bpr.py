@@ -42,8 +42,8 @@ class BPR(RecModel):
         total = mf + self.reg_weight * reg
         return total, {"mf_loss": mf, "reg_loss": reg}
 
-    def full_scores(self, ctx, users):
-        return self.user_embedding[users] @ self.item_embedding.T
+    def eval_embeddings(self, ctx):
+        return self.user_embedding, self.item_embedding
 
     @classmethod
     def from_config(cls, config, data) -> "BPR":

@@ -133,9 +133,8 @@ class FREEDOM(RecModel):
         total = mf + self.reg_weight * mod
         return total, {"mf_loss": mf, "modal_bpr": mod}
 
-    def full_scores(self, ctx, users):
-        ue, ie = self.propagate(ctx, ctx["norm_adj"])
-        return ue[users] @ ie.T
+    def eval_embeddings(self, ctx):
+        return self.propagate(ctx, ctx["norm_adj"])
 
     @classmethod
     def from_config(cls, config, data) -> "FREEDOM":

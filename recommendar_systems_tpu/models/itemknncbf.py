@@ -35,6 +35,8 @@ class ItemKNNCBF(RecModel):
         zero = 0.0 * jnp.sum(self.dummy)
         return zero, {"zero": zero}
 
+    has_eval_embeddings = False
+
     def full_scores(self, ctx, users):
         return ctx["scores_matrix"][users]
 

@@ -151,9 +151,8 @@ class LATTICE(RecModel):
         total = mf + reg
         return total, {"mf_loss": mf, "emb_loss": reg}
 
-    def full_scores(self, ctx, users):
-        ue, ie = self.propagate(ctx, train=False)
-        return ue[users] @ ie.T
+    def eval_embeddings(self, ctx):
+        return self.propagate(ctx, train=False)
 
     @classmethod
     def from_config(cls, config, data) -> "LATTICE":

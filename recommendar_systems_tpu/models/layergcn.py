@@ -71,9 +71,8 @@ class LayerGCN(RecModel):
         total = mf + self.reg_weight * reg
         return total, {"mf_loss": mf, "reg_loss": reg}
 
-    def full_scores(self, ctx, users):
-        ue, ie = self.propagate(ctx, ctx["norm_adj"])
-        return ue[users] @ ie.T
+    def eval_embeddings(self, ctx):
+        return self.propagate(ctx, ctx["norm_adj"])
 
     @classmethod
     def from_config(cls, config, data) -> "LayerGCN":

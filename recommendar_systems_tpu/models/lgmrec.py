@@ -150,9 +150,9 @@ class LGMRec(RecModel):
         total = mf + self.cl_weight * hcl + self.reg_weight * reg
         return total, {"mf_loss": mf, "hcl_loss": hcl, "reg_loss": reg}
 
-    def full_scores(self, ctx, users):
+    def eval_embeddings(self, ctx):
         all_embs, _ = self.views(ctx, train=False)
-        return all_embs[: self.n_users][users] @ all_embs[self.n_users :].T
+        return all_embs[: self.n_users], all_embs[self.n_users :]
 
     @classmethod
     def from_config(cls, config, data) -> "LGMRec":

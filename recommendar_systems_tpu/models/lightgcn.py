@@ -53,9 +53,8 @@ class LightGCN(RecModel):
         total = mf + self.reg_weight * reg
         return total, {"mf_loss": mf, "reg_loss": reg}
 
-    def full_scores(self, ctx, users):
-        ue, ie = self.propagate(ctx)
-        return ue[users] @ ie.T
+    def eval_embeddings(self, ctx):
+        return self.propagate(ctx)
 
     @classmethod
     def from_config(cls, config, data) -> "LightGCN":

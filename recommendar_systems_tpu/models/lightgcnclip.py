@@ -102,9 +102,8 @@ class LightGCNCLIP(RecModel):
             total = total + self.mod_align_weight * align
         return total, {"mf_loss": mf, "reg_loss": reg, "align": align}
 
-    def full_scores(self, ctx, users):
-        ue, ie = self.propagate(ctx, train=False)
-        return ue[users] @ ie.T
+    def eval_embeddings(self, ctx):
+        return self.propagate(ctx, train=False)
 
     def tb_diagnostics(self, ctx):
         """Modality-branch health stats (`lightgcnclip.py:266-300`)."""

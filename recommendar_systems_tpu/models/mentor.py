@@ -173,9 +173,9 @@ class MENTOR(RecModel):
             "mask_g": mask_g,
         }
 
-    def full_scores(self, ctx, users):
+    def eval_embeddings(self, ctx):
         result, *_ = self.views(ctx, train=False)
-        return result[: self.n_users][users] @ result[self.n_users :].T
+        return result[: self.n_users], result[self.n_users :]
 
     @classmethod
     def from_config(cls, config, data) -> "MENTOR":

@@ -103,10 +103,9 @@ class MGCN(RecModel):
         total = mf + reg + self.cl_loss * cl
         return total, {"mf_loss": mf, "emb_loss": reg, "cl_loss": cl}
 
-    def full_scores(self, ctx, users):
+    def eval_embeddings(self, ctx):
         all_embeds, _, _ = self.views(ctx)
-        ue, ie = all_embeds[: self.n_users], all_embeds[self.n_users :]
-        return ue[users] @ ie.T
+        return all_embeds[: self.n_users], all_embeds[self.n_users :]
 
     @classmethod
     def from_config(cls, config, data) -> "MGCN":

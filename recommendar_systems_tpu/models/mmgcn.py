@@ -128,9 +128,9 @@ class MMGCN(RecModel):
         total = mf + self.reg_weight * reg
         return total, {"mf_loss": mf, "reg_loss": reg}
 
-    def full_scores(self, ctx, users):
+    def eval_embeddings(self, ctx):
         out = self.representation(ctx)
-        return out[: self.n_users][users] @ out[self.n_users :].T
+        return out[: self.n_users], out[self.n_users :]
 
     @classmethod
     def from_config(cls, config, data) -> "MMGCN":

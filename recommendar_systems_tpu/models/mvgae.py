@@ -156,10 +156,10 @@ class MVGAE(RecModel):
         total = loss_multi + loss_v + loss_t + loss_c
         return total, {"recon": loss_multi, "modal": loss_v + loss_t + loss_c}
 
-    def full_scores(self, ctx, users):
+    def eval_embeddings(self, ctx):
         pd_mu, *_ = self.encode(ctx, train=False)
         result = jax.nn.sigmoid(pd_mu) if self.sigmoid_result else pd_mu
-        return result[: self.n_users][users] @ result[self.n_users :].T
+        return result[: self.n_users], result[self.n_users :]
 
     @classmethod
     def from_config(cls, config, data) -> "MVGAE":

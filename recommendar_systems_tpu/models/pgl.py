@@ -109,9 +109,8 @@ class PGL(RecModel):
         all_emb = lightgcn_propagate(ctx["svd_graph"], ego, self.n_ui_layers)
         return all_emb[: self.n_users], all_emb[self.n_users :] + h
 
-    def full_scores(self, ctx, users):
-        ue, ie = self.propagate(ctx, ctx["norm_adj"])
-        return ue[users] @ ie.T
+    def eval_embeddings(self, ctx):
+        return self.propagate(ctx, ctx["norm_adj"])
 
     @classmethod
     def from_config(cls, config, data) -> "PGL":

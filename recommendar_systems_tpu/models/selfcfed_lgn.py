@@ -87,11 +87,17 @@ class SELFCFED_LGN(RecModel):
         total = loss_ui + loss_iu + self.reg_weight * reg
         return total, {"neg_cos": loss_ui + loss_iu, "reg_loss": reg}
 
-    def full_scores(self, ctx, users):
+    def eval_embeddings(self, ctx):
+        # sum of two dot products == one dot product of concatenations
+        # (`selfcfed_lgn.py:71-78`)
+        import jax.numpy as jnp
+
         u_all, i_all = self.encode(ctx, train=False)
         u_p = self.predictor(u_all)
         i_p = self.predictor(i_all)
-        return u_p[users] @ i_all.T + u_all[users] @ i_p.T
+        ue = jnp.concatenate([u_p, u_all], axis=1)
+        ie = jnp.concatenate([i_all, i_p], axis=1)
+        return ue, ie
 
     @classmethod
     def from_config(cls, config, data) -> "SELFCFED_LGN":

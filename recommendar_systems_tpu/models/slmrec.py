@@ -199,6 +199,9 @@ class SLMRec(RecModel):
         total = main + self.ssl_alpha * ssl
         return total, {"main_infonce": main, "ssl_loss": ssl}
 
+    has_eval_embeddings = False  # sigmoid scoring (rank-preserving but kept
+    # for score parity with `slmrec.py:307-315`)
+
     def full_scores(self, ctx, users):
         user, item, _ = self.compute(ctx)
         return jax.nn.sigmoid(user[users] @ item.T)

@@ -180,10 +180,9 @@ class SMORE(RecModel):
             "cl_users": cl_users,
         }
 
-    def full_scores(self, ctx, users):
+    def eval_embeddings(self, ctx):
         all_embeds, _, _ = self.views(ctx, train=False)
-        ue, ie = all_embeds[: self.n_users], all_embeds[self.n_users :]
-        return ue[users] @ ie.T
+        return all_embeds[: self.n_users], all_embeds[self.n_users :]
 
     def diagnostics(self, ctx) -> Dict[str, Any]:
         """Spectral band energies + gate activation stats (`smore.py:424-449`)."""

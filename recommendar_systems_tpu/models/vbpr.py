@@ -47,9 +47,8 @@ class VBPR(RecModel):
         total = mf + self.reg_weight * reg
         return total, {"mf_loss": mf, "reg_loss": reg}
 
-    def full_scores(self, ctx, users):
-        item_e = self._item_embeddings(ctx)
-        return self.u_embedding[users] @ item_e.T
+    def eval_embeddings(self, ctx):
+        return self.u_embedding, self._item_embeddings(ctx)
 
     @classmethod
     def from_config(cls, config, data) -> "VBPR":

@@ -141,6 +141,8 @@ class Trainer:
 
         self._train_epoch_jit = jax.jit(self._train_epoch_impl, donate_argnums=(0, 1))
         self._eval_batch_jit = jax.jit(self._eval_batch_impl)
+        self._eval_embeddings_jit = jax.jit(self._eval_embeddings_impl)
+        self._eval_from_emb_jit = jax.jit(self._eval_from_emb_impl)
         self._pre_epoch_jit = None
         if getattr(type(model), "has_pre_epoch", False):
             cfg_snapshot = dict(config.final_config) if hasattr(config, "final_config") else dict(config)
@@ -374,11 +376,7 @@ class Trainer:
         return params, opt_state, net_state_out, totals, parts
 
     # ------------------------------------------------------------- jitted eval
-    def _eval_batch_impl(self, params, net_state, ctx, users, mask_rows, mask_items):
-        variables = {"params": params}
-        if self.has_net_state:
-            variables["state"] = net_state
-        scores = self.model.apply(variables, ctx, users, method="full_scores")
+    def _mask_and_topk(self, scores, mask_rows, mask_items):
         if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -409,6 +407,23 @@ class Trainer:
         else:
             _, topk_idx = jax.lax.top_k(scores, self.max_k)
         return topk_idx
+
+    def _eval_batch_impl(self, params, net_state, ctx, users, mask_rows, mask_items):
+        variables = {"params": params}
+        if self.has_net_state:
+            variables["state"] = net_state
+        scores = self.model.apply(variables, ctx, users, method="full_scores")
+        return self._mask_and_topk(scores, mask_rows, mask_items)
+
+    def _eval_embeddings_impl(self, params, net_state, ctx):
+        variables = {"params": params}
+        if self.has_net_state:
+            variables["state"] = net_state
+        return self.model.apply(variables, ctx, method="eval_embeddings")
+
+    def _eval_from_emb_impl(self, ue, ie, users, mask_rows, mask_items):
+        scores = ue[users] @ ie.T
+        return self._mask_and_topk(scores, mask_rows, mask_items)
 
     # ----------------------------------------------------------------- train
     def fit(
@@ -585,15 +600,26 @@ class Trainer:
     # ------------------------------------------------------------------ eval
     def evaluate(self, bundle: EvalBundle, is_test: bool = False, idx: int = 0) -> Dict[str, float]:
         chunks = []
+        use_cached_emb = getattr(type(self.model), "has_eval_embeddings", False)
+        if use_cached_emb:
+            # one full-graph propagation per evaluation pass, reused by every
+            # user batch (the reference recomputes it per batch)
+            ue, ie = self._eval_embeddings_jit(self.params, self.net_state, self.ctx)
         for b in range(bundle.n_batches):
-            topk = self._eval_batch_jit(
-                self.params,
-                self.net_state,
-                self.ctx,
-                bundle.users[b],
-                bundle.mask_rows[b],
-                bundle.mask_items[b],
-            )
+            if use_cached_emb:
+                topk = self._eval_from_emb_jit(
+                    ue, ie, bundle.users[b],
+                    bundle.mask_rows[b], bundle.mask_items[b],
+                )
+            else:
+                topk = self._eval_batch_jit(
+                    self.params,
+                    self.net_state,
+                    self.ctx,
+                    bundle.users[b],
+                    bundle.mask_rows[b],
+                    bundle.mask_items[b],
+                )
             chunks.append(np.asarray(topk)[: bundle.n_valid[b]])
         topk_all = np.concatenate(chunks, axis=0)
         eval_users = np.concatenate(
