@@ -108,11 +108,16 @@ class Trainer:
         self.mg_target_rel = float(cfg_scalar(config, "mg_target_rel_step", 1e-3))
         self.mg_alpha_max_scale = float(cfg_scalar(config, "mg_alpha_max_scale", 20.0))
 
-        # mixed-precision SpMM (bandwidth-bound hot path); config knob
-        if str(config.get("compute_dtype") or "float32") == "bfloat16":
-            from recommendar_systems_tpu.graph.sparse import set_spmm_dtype
+        # mixed-precision SpMM (bandwidth-bound hot path); config knob.
+        # Always set (possibly to None) — the flag is module-global and must
+        # not leak across trainers.
+        from recommendar_systems_tpu.graph.sparse import set_spmm_dtype
 
-            set_spmm_dtype(jnp.bfloat16)
+        set_spmm_dtype(
+            jnp.bfloat16
+            if str(config.get("compute_dtype") or "float32") == "bfloat16"
+            else None
+        )
 
         self.tx = build_optimizer(config)
         self.lr_fn = lr_schedule(config)

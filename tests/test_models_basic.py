@@ -113,3 +113,11 @@ def test_determinism_same_seed(ds):
     r2 = run_model("BPR", ds, epochs=3, reg_weight=0.001)
     assert r1[1] == r2[1]  # identical valid metric dicts
     assert list(r1[3].train_loss_dict.values()) == list(r2[3].train_loss_dict.values())
+
+
+def test_bf16_propagation_trains(ds):
+    score, valid, test, tr = run_model(
+        "LightGCN", ds, epochs=4, n_layers=2, reg_weight=0.001,
+        compute_dtype="bfloat16",
+    )
+    assert np.isfinite(score) and score > 0.3, valid
