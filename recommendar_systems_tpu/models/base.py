@@ -55,6 +55,12 @@ class RecModel(nn.Module):
 
     has_eval_embeddings: bool = True
 
+    def predict(self, ctx: Dict[str, Any], users: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
+        """Pairwise scores for (user, item) pairs — the reference's
+        ``predict`` contract (`abstract_recommender.py:30-39`)."""
+        ue, ie = self.eval_embeddings(ctx)
+        return jnp.sum(ue[users] * ie[items], axis=-1)
+
     # -- host-side construction --------------------------------------------
     @classmethod
     def from_config(cls, config, data) -> "RecModel":

@@ -121,3 +121,16 @@ def test_bf16_propagation_trains(ds):
         compute_dtype="bfloat16",
     )
     assert np.isfinite(score) and score > 0.3, valid
+
+
+def test_predict_pairwise(ds):
+    """predict() pairwise API (reference abstract_recommender.py:30-39)."""
+    import jax.numpy as jnp
+
+    score, valid, test, tr = run_model("BPR", ds, epochs=2, reg_weight=0.001)
+    users = jnp.asarray([0, 1, 2])
+    items = jnp.asarray([3, 4, 5])
+    p = tr.model.apply({"params": tr.params}, {}, users, items, method="predict")
+    ue, ie = tr.model.apply({"params": tr.params}, {}, method="eval_embeddings")
+    expected = (np.asarray(ue)[np.asarray(users)] * np.asarray(ie)[np.asarray(items)]).sum(-1)
+    np.testing.assert_allclose(np.asarray(p), expected, rtol=1e-6)
