@@ -27,6 +27,7 @@ def main() -> None:
     p.add_argument("--users", type=int, default=19445)
     p.add_argument("--items", type=int, default=7050)
     p.add_argument("--inters", type=int, default=160792)
+    p.add_argument("--overrides", default="{}", help="JSON of scalar hyperparams")
     args = p.parse_args()
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -109,6 +110,7 @@ def main() -> None:
             # scalarize the model's sweep-list hyperparameters
             "n_layers": 4,
             "reg_weight": 0.01,
+            **__import__("json").loads(args.overrides),
         },
         save_model=False,
         mg=False,
