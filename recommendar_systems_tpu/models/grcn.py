@@ -56,11 +56,13 @@ class GRCN(RecModel):
             self.t_pref = self.param("t_preference", xavier_normal, (self.n_users, c))
             self.t_mlp = Dense(c, kernel_init=xavier_normal, name="t_mlp")
 
-    def _gat(self, x, src, dst):
+    def _gat(self, x, src, dst, sorted_dst=False):
         """Dot-attention conv (`grcn.py:46-76`): returns (out, alpha)."""
         alpha = jnp.sum(x[dst] * x[src], axis=-1)
-        alpha = segment_softmax(alpha, dst, x.shape[0])
-        out = scatter_weighted_sum(x[src], alpha, dst, x.shape[0])
+        alpha = segment_softmax(alpha, dst, x.shape[0], indices_are_sorted=sorted_dst)
+        out = scatter_weighted_sum(
+            x[src], alpha, dst, x.shape[0], indices_are_sorted=sorted_dst
+        )
         return out, alpha
 
     def _content_tower(self, ctx, pref, mlp, feats):
@@ -72,13 +74,13 @@ class GRCN(RecModel):
         src_i, dst_u = ctx["edge_i_node"], ctx["edge_u"]
         for _ in range(self.num_routing):
             x = jnp.concatenate([pref, features], axis=0)
-            upd, _ = self._gat(x, src_i, dst_u)
+            upd, _ = self._gat(x, src_i, dst_u, sorted_dst=True)
             pref = pref + upd[: self.n_users]
             if self.has_norm:
                 pref = l2_normalize(pref)
         x = jnp.concatenate([pref, features], axis=0)
         # final conv over the doubled edge list (`grcn.py:160-166`)
-        out, alpha = self._gat(x, ctx["sym_src"], ctx["sym_dst"])
+        out, alpha = self._gat(x, ctx["sym_src"], ctx["sym_dst"], sorted_dst=True)
         if self.has_act:
             out = nn.leaky_relu(out, negative_slope=0.01)
         return x + out, alpha, pref
@@ -106,10 +108,10 @@ class GRCN(RecModel):
         elif self.weight_mode == "max":
             weight = weight.max(axis=1)
         else:  # confid (`grcn.py:271-279`)
-            conf = self.model_specific_conf
-            confidence = jnp.concatenate(
-                [conf[ctx["edge_u"]], conf[ctx["edge_i_node"]]], axis=0
-            )  # [2E, M]
+            # reference: cat(conf[edge_index[0]], conf[edge_index[1]]) over
+            # the doubled edge list == conf[source] per symmetric edge,
+            # which stays correct under our dst-sorted edge ordering
+            confidence = self.model_specific_conf[ctx["sym_src"]]  # [2E, M]
             weight = (weight * confidence).max(axis=1)
         weight = jax.nn.relu(weight)  # pruning (`grcn.py:282-284`)
 
@@ -118,12 +120,14 @@ class GRCN(RecModel):
         if self.has_norm:
             x = l2_normalize(x)
         h1 = scatter_weighted_sum(
-            x[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0]
+            x[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0],
+            indices_are_sorted=True,
         )
         if self.has_act:
             h1 = nn.leaky_relu(h1, negative_slope=0.01)
         h2 = scatter_weighted_sum(
-            h1[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0]
+            h1[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0],
+            indices_are_sorted=True,
         )
         if self.has_act:
             h2 = nn.leaky_relu(h2, negative_slope=0.01)
@@ -180,15 +184,21 @@ class GRCN(RecModel):
 
     @classmethod
     def build_ctx(cls, config, data):
+        # edges sorted by DESTINATION so segment softmax/sum take the sorted
+        # fast path (the per-edge order within a segment does not affect the
+        # math)
         u = data.train_users_np.astype(np.int64)
         i_node = data.train_items_np.astype(np.int64) + data.n_users
+        order_u = np.argsort(u, kind="stable")
+        u_s, i_s = u[order_u], i_node[order_u]  # routing edges: dst = user
         sym_src = np.concatenate([u, i_node])
         sym_dst = np.concatenate([i_node, u])
+        order_sym = np.argsort(sym_dst, kind="stable")
         ctx = {
-            "edge_u": jnp.asarray(u, dtype=jnp.int32),
-            "edge_i_node": jnp.asarray(i_node, dtype=jnp.int32),
-            "sym_src": jnp.asarray(sym_src, dtype=jnp.int32),
-            "sym_dst": jnp.asarray(sym_dst, dtype=jnp.int32),
+            "edge_u": jnp.asarray(u_s, dtype=jnp.int32),
+            "edge_i_node": jnp.asarray(i_s, dtype=jnp.int32),
+            "sym_src": jnp.asarray(sym_src[order_sym], dtype=jnp.int32),
+            "sym_dst": jnp.asarray(sym_dst[order_sym], dtype=jnp.int32),
         }
         if data.v_feat is not None:
             ctx["v_feat"] = data.v_feat
