@@ -134,3 +134,32 @@ def test_predict_pairwise(ds):
     ue, ie = tr.model.apply({"params": tr.params}, {}, method="eval_embeddings")
     expected = (np.asarray(ue)[np.asarray(users)] * np.asarray(ie)[np.asarray(items)]).sum(-1)
     np.testing.assert_allclose(np.asarray(p), expected, rtol=1e-6)
+
+
+def _opt_count(tr):
+    # optax InjectHyperparamsState holds its own update counter
+    return int(np.asarray(tr.opt_state.count))
+
+
+def test_trainer_mg_double_updates(ds):
+    """Trainer-level MG performs 2 optimizer updates every `beta` steps
+    (reference trainer.py:207-224)."""
+    score, valid, test, tr = run_model(
+        "BPR", ds, epochs=1, mg=True, reg_weight=0.001, beta=2,
+        alpha1=1.0, alpha2=0.2,
+    )
+    n_steps = tr.n_steps
+    expected = n_steps + (n_steps + 1) // 2  # step_id % 2 == 0 -> extra update
+    assert _opt_count(tr) == expected, (_opt_count(tr), expected)
+
+
+def test_model_mg_extra_updates(ds):
+    """Model-driven MG adds one anti-mirror update every mg_interval steps
+    (reference trainer.py:268-348)."""
+    score, valid, test, tr = run_model(
+        "BPR", ds, epochs=1, reg_weight=0.001,
+        mg_enable=True, mg_interval=3, mg_alpha=0.5, mg_beta=0.2,
+    )
+    n_steps = tr.n_steps
+    expected = n_steps + n_steps // 3  # (step+1) % 3 == 0
+    assert _opt_count(tr) == expected, (_opt_count(tr), expected)
