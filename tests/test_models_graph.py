@@ -92,3 +92,31 @@ def test_itemknncbf_no_training(ds):
     assert score > 0.25, valid
     # no training happened
     assert all(v == 0.0 for v in tr.train_loss_dict.values())
+
+
+def test_freedom_dropout_degree_bias(ds):
+    """Degree-weighted edge dropout keeps high-value (low-degree-endpoint)
+    edges more often (reference freedom.py:135 multinomial on edge values)."""
+    import jax
+
+    cfg = make_config("FREEDOM", epochs=1, reg_weight=1e-5, dropout=0.5)
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("FREEDOM")
+    ctx = cls.build_ctx(cfg, data)
+    cfg_d = dict(cfg.final_config)
+    cfg_d["__n_users__"] = data.n_users
+    cfg_d["__n_items__"] = data.n_items
+    w = np.asarray(ctx["edge_values"])
+    E = len(w)
+    keep_counts = np.zeros(E)
+    for t in range(30):
+        ctx2 = cls.pre_epoch(ctx, jax.random.key(t), cfg_d)
+        # recover the per-ui-edge keep mask from the symmetric values
+        sym_vals = np.asarray(ctx2["masked_adj"].vals)
+        inv = np.empty_like(np.asarray(ctx["sym_perm"]))
+        inv[np.asarray(ctx["sym_perm"])] = np.arange(2 * E)
+        kept = sym_vals[inv[:E]] > 0
+        keep_counts += kept
+    top = w >= np.median(w)
+    # Gumbel-top-k with log-weight keys keeps heavier edges more often
+    assert keep_counts[top].mean() > keep_counts[~top].mean() + 1
