@@ -48,28 +48,32 @@ class _ModalTower(nn.Module):
     n_users: int
     dim_latent: int = 64
 
-    @nn.compact
-    def __call__(self, adj, features, perturbed: bool = False):
-        pref = self.param(
+    def setup(self):
+        self.preference = self.param(
             "preference", xavier_normal, (self.n_users, self.dim_latent)
         )
-        h1 = nn.leaky_relu(
-            Dense(4 * self.dim_latent, name="MLP")(features), negative_slope=0.01
-        )
-        temp = Dense(self.dim_latent, name="MLP_1")(h1)
-        x = l2_normalize(jnp.concatenate([pref, temp], axis=0))
+        self.MLP = Dense(4 * self.dim_latent, name="MLP")
+        self.MLP_1 = Dense(self.dim_latent, name="MLP_1")
 
-        def add_noise(h):
-            noise = jax.random.uniform(self.make_rng("noise"), h.shape)
-            return h + jnp.sign(h) * l2_normalize(noise) * 0.1
+    def embed(self, features):
+        """Normalized [preference; projected features] node matrix."""
+        h1 = nn.leaky_relu(self.MLP(features), negative_slope=0.01)
+        temp = self.MLP_1(h1)
+        return l2_normalize(jnp.concatenate([self.preference, temp], axis=0))
 
+    def _noise(self, h):
+        noise = jax.random.uniform(self.make_rng("noise"), h.shape)
+        return h + jnp.sign(h) * l2_normalize(noise) * 0.1
+
+    def __call__(self, adj, features, perturbed: bool = False):
+        x = self.embed(features)
         h = spmm(adj, x)
         if perturbed:
-            h = add_noise(h)
+            h = self._noise(h)
         h_1 = spmm(adj, h)
         if perturbed:
-            h_1 = add_noise(h_1)
-        return x + h + h_1, pref
+            h_1 = self._noise(h_1)
+        return x + h + h_1, self.preference
 
 
 class DualGNN(RecModel):
