@@ -20,6 +20,7 @@ from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, xavier_uniform
 from recommendar_systems_tpu.models.losses import batch_sq_reg, bpr_loss, infonce
 from recommendar_systems_tpu.models.multiview import (
+    modality_views_batched,
     GateMLP,
     QueryMLP,
     modality_view,
@@ -65,11 +66,9 @@ class MGCN(RecModel):
             ctx["norm_adj"], self.user_embedding, self.item_id_embedding,
             self.n_ui_layers,
         )
-        image_embeds = modality_view(
-            ctx["image_adj"], ctx["R"], image_item, self.n_layers
-        )
-        text_embeds = modality_view(
-            ctx["text_adj"], ctx["R"], text_item, self.n_layers
+        image_embeds, text_embeds = modality_views_batched(
+            [ctx["image_adj"], ctx["text_adj"]], ctx["R"],
+            [image_item, text_item], self.n_layers,
         )
 
         # behavior-aware fuser (`mgcn.py:187-199`)

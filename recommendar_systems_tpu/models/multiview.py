@@ -53,3 +53,24 @@ def modality_view(mm_adj, R, item_embeds, n_layers: int) -> jnp.ndarray:
         h = spmm(mm_adj, h)
     user_side = spmm(R, h)
     return jnp.concatenate([user_side, h], axis=0)
+
+
+def modality_views_batched(adjs, R, item_embeds_list, n_layers: int):
+    """Several modality views sharing the same R: per-view item-item
+    propagation (distinct graphs), then ONE batched user lift through R over
+    the concatenated columns.  Columnwise-equivalent to per-view
+    ``modality_view`` with a third of the R gather/scatter passes."""
+    hs = []
+    for adj, item_embeds in zip(adjs, item_embeds_list):
+        h = item_embeds
+        for _ in range(n_layers):
+            h = spmm(adj, h)
+        hs.append(h)
+    d_sizes = [h.shape[1] for h in hs]
+    user_all = spmm(R, jnp.concatenate(hs, axis=1))
+    views = []
+    off = 0
+    for h, d in zip(hs, d_sizes):
+        views.append(jnp.concatenate([user_all[:, off : off + d], h], axis=0))
+        off += d
+    return views

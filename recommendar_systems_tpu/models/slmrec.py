@@ -101,13 +101,22 @@ class SLMRec(RecModel):
         return chans
 
     def compute(self, ctx):
-        """Per-channel LightGCN + fusion heads (`slmrec.py:73-118`)."""
+        """Per-channel LightGCN + fusion heads (`slmrec.py:73-118`).
+
+        All channels share the adjacency, so their propagations are batched
+        into one wide SpMM over [N, C*d] (columnwise-equivalent)."""
+        chans = self._channels(ctx)
+        order = [k for k in ("i", "v", "t") if k in chans]
+        d = self.latent_dim
+        ego = jnp.concatenate(
+            [jnp.concatenate([self.embedding_user, chans[k]], axis=0) for k in order],
+            axis=1,
+        )
+        out_all = lightgcn_propagate(ctx["norm_adj"], ego, self.n_layers)
         embs = {}
-        for name, item_emb in self._channels(ctx).items():
-            ego = jnp.concatenate([self.embedding_user, item_emb], axis=0)
-            out = lightgcn_propagate(ctx["norm_adj"], ego, self.n_layers)
-            embs[name] = (out[: self.n_users], out[self.n_users :])
-        order = [k for k in ("i", "v", "t") if k in embs]
+        for ci, k in enumerate(order):
+            out = out_all[:, ci * d : (ci + 1) * d]
+            embs[k] = (out[: self.n_users], out[self.n_users :])
         user = self.embedding_user_after_GCN(
             self._mm_fusion([embs[k][0] for k in order])
         )
@@ -133,9 +142,7 @@ class SLMRec(RecModel):
     def _two_view_propagate(self, ctx, item_embs_1, item_embs_2, use_dropout, train):
         det = not train
 
-        def one(i_emb_1, i_emb_2):
-            e1 = jnp.concatenate([self.embedding_user, i_emb_1], axis=0)
-            e2 = jnp.concatenate([self.embedding_user, i_emb_2], axis=0)
+        def one(e1, e2):
             l1, l2 = [e1], [e2]
             for _ in range(self.n_layers):
                 e1 = spmm(ctx["norm_adj"], e1)
@@ -150,7 +157,22 @@ class SLMRec(RecModel):
             o2 = jnp.stack(l2, 1).mean(1)
             return o1, o2
 
-        return [one(a, b) for a, b in zip(item_embs_1, item_embs_2)]
+        # batched over channels: one [N, C*d] propagation per view per layer
+        d = self.latent_dim
+        C = len(item_embs_1)
+        e1 = jnp.concatenate(
+            [jnp.concatenate([self.embedding_user, i1], axis=0) for i1 in item_embs_1],
+            axis=1,
+        )
+        e2 = jnp.concatenate(
+            [jnp.concatenate([self.embedding_user, i2], axis=0) for i2 in item_embs_2],
+            axis=1,
+        )
+        o1_all, o2_all = one(e1, e2)
+        return [
+            (o1_all[:, c * d : (c + 1) * d], o2_all[:, c * d : (c + 1) * d])
+            for c in range(C)
+        ]
 
     def _fd_fm(self, ctx, users, items, w, train, mask: bool, use_dropout: bool):
         chans = self._channels(ctx)
