@@ -522,6 +522,10 @@ class Trainer:
                 from recommendar_systems_tpu.train.diagnostics import param_norms
 
                 scalars.update(param_norms(self.params))
+                try:
+                    scalars.update(self.grad_group_norms())
+                except Exception:
+                    pass
                 # model-provided diagnostics (reference trainer.py:459-467)
                 for meth in ("tb_diagnostics", "diagnostics"):
                     if hasattr(self.model, meth):
@@ -642,6 +646,52 @@ class Trainer:
         return os.path.join(
             ckpt_dir, f"{self.config['model']}-{self.config['dataset']}-best.msgpack"
         )
+
+    def plot_train_loss(self, show: bool = False, save_path: Optional[str] = None):
+        """Plot per-epoch training loss (reference trainer.py:530-548)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        epochs = sorted(self.train_loss_dict)
+        plt.figure()
+        plt.plot(epochs, [self.train_loss_dict[e] for e in epochs])
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        if save_path:
+            plt.savefig(save_path, dpi=110, bbox_inches="tight")
+        if show:
+            plt.show()
+        plt.close()
+        return save_path
+
+    def grad_group_norms(self, batch=None):
+        """Per-module-group gradient norms on one batch (the reference's TB
+        grad diagnostics, trainer.py:228-234)."""
+        from recommendar_systems_tpu.train.diagnostics import grad_group_norms
+
+        if batch is None:
+            B = min(self.batch_size, self.data.n_train)
+            batch = {
+                "users": self.data.train_users[:B],
+                "pos_items": self.data.train_items[:B],
+                "neg_items": self.data.train_items[:B],
+                "weight": jnp.ones((B,), jnp.float32),
+                "edge_ids": jnp.arange(B, dtype=jnp.int32),
+            }
+            if self.use_full_sampling:
+                batch = {"users": self.data.train_users[:B],
+                         "weight": jnp.ones((B,), jnp.float32)}
+            elif not self.use_neg_sampling:
+                batch.pop("neg_items")
+
+        def loss_fn(p):
+            return self._apply_loss(p, self.net_state, self.ctx, batch,
+                                    jax.random.key(0))[0]
+
+        grads = jax.grad(loss_fn)(self.params)
+        return grad_group_norms(grads)
 
     def save_checkpoint(self) -> str:
         path = self.checkpoint_path()

@@ -81,3 +81,29 @@ def test_recall2_metric_available():
     res = ev.evaluate(topk, gt, np.array([2, 1]))
     # hits: u0 has 1@rank1, u1 has 4@rank2 => cum@2 = 2 hits / 3 positives
     assert abs(res["recall2@2"] - 2 / 3) < 1e-4  # results round to 4 decimals
+
+
+def test_plot_train_loss_and_grad_groups(tmp_path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from recommendar_systems_tpu.data.arrays import build_data_bundle
+    from recommendar_systems_tpu.data.synthetic import generate_synthetic
+    from recommendar_systems_tpu.models import get_model
+    from recommendar_systems_tpu.train.trainer import Trainer
+    from conftest import make_config
+
+    ds = generate_synthetic(n_users=60, n_items=40, n_inter=900, v_dim=8,
+                            t_dim=8, seed=1)
+    cfg = make_config("BPR", epochs=2, reg_weight=0.001)
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("BPR")
+    trainer = Trainer(cfg, cls.from_config(cfg, data), {}, data)
+    trainer.init_state(0)
+    trainer.fit(saved=False, verbose=False)
+    out = trainer.plot_train_loss(save_path=str(tmp_path / "loss.png"))
+    import os
+    assert os.path.isfile(out)
+    norms = trainer.grad_group_norms()
+    assert any(k.startswith("grad_norm/") for k in norms)
+    assert all(np.isfinite(v) for v in norms.values())
