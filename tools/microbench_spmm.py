@@ -12,9 +12,13 @@ Usage: python tools/microbench_spmm.py [--users 19445 --items 7050 --nnz 272000 
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, n=20, warmup=2):
