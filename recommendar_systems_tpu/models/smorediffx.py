@@ -29,7 +29,7 @@ import numpy as np
 from recommendar_systems_tpu.graph.sparse import COO
 from recommendar_systems_tpu.models.layers import l2_normalize
 from recommendar_systems_tpu.models.smorediff import SMOREDiff
-from recommendar_systems_tpu.ops.spectral import haar_dwt1, haar_idwt1
+from recommendar_systems_tpu.ops.spectral import haar_dwt1, haar_idwt1, irfft_ortho, rfft_ortho
 
 
 class SMOREDiffX(SMOREDiff):
@@ -72,12 +72,12 @@ class SMOREDiffX(SMOREDiff):
             # reference defaults both to None which makes it the identity
             return z
         if self.dsp_mode == "fft_mask":
-            fft = jnp.fft.rfft(z, axis=-1, norm="ortho")
+            fft = rfft_ortho(z)
             mag = jnp.abs(fft)
             k = max(1, int(mag.shape[1] * self.fft_keep_ratio))
             th = jnp.sort(mag, axis=1)[:, -k][:, None]
             mask = (mag >= th).astype(fft.dtype)
-            return jnp.fft.irfft(fft * mask, n=z.shape[1], axis=-1, norm="ortho")
+            return irfft_ortho(fft * mask, z.shape[1])
         if self.dsp_mode == "wavelet":
             a, d = haar_dwt1(z)
             d = jnp.where(jnp.abs(d) > self.wavelet_thr, d, 0.0)

@@ -29,7 +29,7 @@ from recommendar_systems_tpu.models.layers import Dense
 from recommendar_systems_tpu.models.losses import batch_sq_reg, bpr_loss, infonce
 from recommendar_systems_tpu.models.multiview import modality_view, ui_content_view
 from recommendar_systems_tpu.models.smore import SMORE, normal_init
-from recommendar_systems_tpu.ops.spectral import complex_from_pair
+from recommendar_systems_tpu.ops.spectral import complex_from_pair, irfft_ortho, rfft_ortho
 
 
 class SMOREMG(SMORE):
@@ -45,8 +45,8 @@ class SMOREMG(SMORE):
 
     def _filtered_spectra(self, image_feats, text_feats):
         d = self.embedding_size
-        image_fft = jnp.fft.rfft(image_feats, axis=-1, norm="ortho")
-        text_fft = jnp.fft.rfft(text_feats, axis=-1, norm="ortho")
+        image_fft = rfft_ortho(image_feats)
+        text_fft = rfft_ortho(text_feats)
         w_i = complex_from_pair(self.image_complex_weight)
         w_t = complex_from_pair(self.text_complex_weight)
         w_f = complex_from_pair(self.fusion_complex_weight)
@@ -55,9 +55,9 @@ class SMOREMG(SMORE):
         image_filt = image_fft * w_i * gate_c
         text_filt = text_fft * w_t * gate_c
         fusion_fft = (image_fft * text_fft) * w_f * gate_c
-        image_conv = jnp.fft.irfft(image_filt, n=d, axis=-1, norm="ortho")
-        text_conv = jnp.fft.irfft(text_filt, n=d, axis=-1, norm="ortho")
-        fusion_conv = jnp.fft.irfft(fusion_fft, n=d, axis=-1, norm="ortho")
+        image_conv = irfft_ortho(image_filt, d)
+        text_conv = irfft_ortho(text_filt, d)
+        fusion_conv = irfft_ortho(fusion_fft, d)
         return image_conv, text_conv, fusion_conv, image_filt, text_filt
 
     def views(self, ctx, train: bool, with_cache: bool = False):

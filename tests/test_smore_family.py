@@ -119,3 +119,16 @@ def test_smore_diagnostics(ds):
         diag["spec/image_lo"] + diag["spec/image_mid"] + diag["spec/image_hi"]
     ) < 1.01
     assert 0.0 <= float(diag["gate/gV_mean"]) <= 1.0
+
+
+def test_matmul_dft_matches_jnp_fft():
+    """The matmul-DFT path (axon FFT workaround) is exact vs jnp.fft."""
+    from recommendar_systems_tpu.ops.spectral import irfft_ortho, rfft_ortho
+
+    for d in (16, 63, 64):
+        x = np.random.default_rng(d).normal(size=(9, d)).astype(np.float32)
+        got = np.asarray(rfft_ortho(jnp.asarray(x)))
+        ref = np.fft.rfft(x, axis=-1, norm="ortho")
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+        back = np.asarray(irfft_ortho(jnp.asarray(ref.astype(np.complex64)), d))
+        np.testing.assert_allclose(back, x, atol=1e-4)
