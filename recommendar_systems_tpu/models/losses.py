@@ -40,8 +40,14 @@ def bpr_loss_log2(
     weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """The DualGNN/DRAGON/MENTOR flavor: ``-sum(log2(sigmoid(pos-neg)))``
-    averaged over the batch (reference `dualgnn.py:182-197`)."""
-    return _wmean(-jnp.log2(jax.nn.sigmoid(pos_score - neg_score)), weight)
+    averaged over the batch (reference `dualgnn.py:182-197`).
+
+    Computed as ``softplus(neg - pos) / ln 2`` — algebraically identical but
+    stable where ``sigmoid`` underflows to 0 in f32 (pos - neg < -88), which
+    otherwise turns the loss into inf and the gradients into NaN."""
+    return _wmean(
+        jax.nn.softplus(neg_score - pos_score) / jnp.log(2.0), weight
+    )
 
 
 def emb_loss(
