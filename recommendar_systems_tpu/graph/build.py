@@ -23,7 +23,17 @@ from typing import Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from recommendar_systems_tpu.graph.sparse import COO
+from recommendar_systems_tpu.graph.sparse import COO, DenseBip, DenseMat, dense_ok
+
+
+def _dense_block(
+    r: np.ndarray, c: np.ndarray, v: np.ndarray, n_rows: int, n_cols: int
+) -> np.ndarray:
+    """Accumulate an edge list into a dense f32 block (duplicates add,
+    matching segment_sum over duplicate COO entries)."""
+    m = np.zeros((n_rows, n_cols), dtype=np.float32)
+    np.add.at(m, (r, c), v)
+    return m
 
 
 def _degrees(u: np.ndarray, i: np.ndarray, n_users: int, n_items: int):
@@ -33,15 +43,23 @@ def _degrees(u: np.ndarray, i: np.ndarray, n_users: int, n_items: int):
 
 
 def build_norm_adj(
-    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
-) -> COO:
-    """Symmetric-normalized (U+I)x(U+I) bipartite adjacency, row-sorted COO."""
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int,
+    dense: bool | None = None,
+):
+    """Symmetric-normalized (U+I)x(U+I) bipartite adjacency.
+
+    Returns a ``DenseBip`` (MXU matmul propagation) when the dense [U, I]
+    block fits the densify threshold, else row-sorted COO.  ``dense=False``
+    forces COO for callers that need edge-slot access (per-epoch dropout).
+    """
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     du, di = _degrees(u, i, n_users, n_items)
     inv_u = np.power(du + 1e-7, -0.5)
     inv_i = np.power(di + 1e-7, -0.5)
     vals_ui = (inv_u[u] * inv_i[i]).astype(np.float32)
+    if dense or (dense is None and dense_ok(n_users, n_items)):
+        return DenseBip(jnp.asarray(_dense_block(u, i, vals_ui, n_users, n_items)))
 
     rows = np.concatenate([u, i + n_users])
     cols = np.concatenate([i + n_users, u])
@@ -58,15 +76,18 @@ def build_norm_adj(
 
 
 def build_norm_ui(
-    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
-) -> COO:
-    """Normalized U x I interaction block R-hat (row-sorted by user)."""
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int,
+    dense: bool | None = None,
+):
+    """Normalized U x I interaction block R-hat (DenseMat or row-sorted COO)."""
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     du, di = _degrees(u, i, n_users, n_items)
     inv_u = np.power(du + 1e-7, -0.5)
     inv_i = np.power(di + 1e-7, -0.5)
     vals = (inv_u[u] * inv_i[i]).astype(np.float32)
+    if dense or (dense is None and dense_ok(n_users, n_items)):
+        return DenseMat(jnp.asarray(_dense_block(u, i, vals, n_users, n_items)))
     order = np.lexsort((i, u))
     return COO(
         rows=jnp.asarray(u[order], dtype=jnp.int32),
@@ -78,8 +99,9 @@ def build_norm_ui(
 
 
 def build_mean_adj(
-    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
-) -> COO:
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int,
+    dense: bool | None = None,
+):
     """Row-normalized (U+I) bipartite adjacency D^-1 A, no self loops.
 
     This is torch-geometric's ``aggr='mean'`` message passing over the
@@ -93,6 +115,12 @@ def build_mean_adj(
     deg = np.bincount(rows, minlength=n).astype(np.float64)
     d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
+    if dense or (dense is None and dense_ok(n_users, n_items, copies=2)):
+        e = len(u)
+        return DenseBip(
+            ur=jnp.asarray(_dense_block(u, i, vals[:e], n_users, n_items)),
+            iu=jnp.asarray(_dense_block(i, u, vals[e:], n_items, n_users)),
+        )
     order = np.lexsort((cols, rows))
     return COO(
         rows=jnp.asarray(rows[order], dtype=jnp.int32),
@@ -104,8 +132,9 @@ def build_mean_adj(
 
 
 def build_rw_adj_selfloop(
-    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
-) -> COO:
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int,
+    dense: bool | None = None,
+):
     """Row-normalized (U+I) adjacency WITH self-loops: D^-1 (A + I).
 
     LATTICE's u-i graph normalization (`lattice.py:105-125`: ``d_inv =
@@ -119,6 +148,13 @@ def build_rw_adj_selfloop(
     deg = np.bincount(rows, minlength=n).astype(np.float64)
     d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
+    if dense or (dense is None and dense_ok(n_users, n_items, copies=2)):
+        e = len(u)
+        return DenseBip(
+            ur=jnp.asarray(_dense_block(u, i, vals[:e], n_users, n_items)),
+            iu=jnp.asarray(_dense_block(i, u, vals[e : 2 * e], n_items, n_users)),
+            diag=jnp.asarray(vals[2 * e :]),
+        )
     order = np.lexsort((cols, rows))
     return COO(
         rows=jnp.asarray(rows[order], dtype=jnp.int32),

@@ -12,6 +12,10 @@ passing.  On TPU both collapse onto two static-shape primitives:
 - ``ELL``: fixed-degree neighbor lists ``[n, k]`` (exact fit for kNN modality
   graphs where every row has exactly ``k`` neighbors); SpMM = batched gather
   + weighted sum, which XLA fuses into a single pass.
+- ``DenseBip``/``DenseMat``: fully materialized adjacency blocks whose SpMM
+  is a plain MXU matmul — the fastest path on TPU whenever the dense block
+  fits the ``set_dense_threshold`` budget (gather/scatter runs ~20 GB/s
+  effective on this hardware; the MXU streams dense operands at HBM speed).
 
 Both are registered pytrees so they can be closed over or passed through
 ``jit`` boundaries, and padding entries are encoded as zero-valued edges so
@@ -120,6 +124,128 @@ def spmm_lowrank(adj: LowRank, x: jnp.ndarray) -> jnp.ndarray:
     return adj.left @ (adj.right.T @ x)
 
 
+# ---------------------------------------------------------------------------
+# Dense adjacency.
+#
+# TPU gather/scatter over irregular indices runs ~20 GB/s effective on the
+# SpMM hot path (tools/microbench_spmm2.py), while a dense matmul rides the
+# MXU at memory speed.  For the catalog sizes the reference ships (U x I up
+# to a few hundred MB dense) the TPU-native move is to materialize the
+# normalized interaction block ONCE and propagate with plain matmuls: R @ X
+# is ~20-40x faster than gather+segment_sum at baby/sports scale.  Builders
+# densify automatically when the dense bytes fit under ``_DENSE_THRESHOLD``
+# (large catalogs keep the static-shape sparse path).
+# ---------------------------------------------------------------------------
+
+_DENSE_THRESHOLD = int(1.5e9)  # bytes of f32 storage; 0 disables
+
+
+def set_dense_threshold(n_bytes: int) -> None:
+    """Densify adjacencies whose f32 storage fits in ``n_bytes`` (0 = never).
+    Must be called before graphs are built."""
+    global _DENSE_THRESHOLD
+    _DENSE_THRESHOLD = int(n_bytes)
+
+
+def dense_ok(n_rows: int, n_cols: int, copies: int = 1) -> bool:
+    return _DENSE_THRESHOLD > 0 and 4 * n_rows * n_cols * copies <= _DENSE_THRESHOLD
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """Matmul honoring the mixed-precision knob with f32 accumulation."""
+    if _SPMM_DTYPE is not None:
+        a = a.astype(_SPMM_DTYPE)
+        b = b.astype(_SPMM_DTYPE)
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DenseMat:
+    """Dense adjacency block [n, m]; SpMM is one MXU matmul."""
+
+    mat: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.mat,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def n_rows(self) -> int:
+        return int(self.mat.shape[0])
+
+    @property
+    def n_cols(self) -> int:
+        return int(self.mat.shape[1])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DenseBip:
+    """Dense (U+I)-node bipartite adjacency stored as its blocks.
+
+    ``A = [[diag_u, ur], [iu, diag_i]]`` where ``iu`` defaults to ``ur.T``
+    (symmetric normalization) and the diagonal defaults to zero.  SpMM is
+    two block matmuls — the transpose fuses into the dot_general, so the
+    symmetric case stores only [U, I].
+    """
+
+    ur: jnp.ndarray                 # [U, I]
+    iu: jnp.ndarray | None = None   # [I, U]; None -> ur.T
+    diag: jnp.ndarray | None = None  # [U+I] self-loop weights; None -> 0
+
+    def tree_flatten(self):
+        children = [self.ur]
+        aux = [self.iu is not None, self.diag is not None]
+        if self.iu is not None:
+            children.append(self.iu)
+        if self.diag is not None:
+            children.append(self.diag)
+        return tuple(children), tuple(aux)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        has_iu, has_diag = aux
+        it = iter(children[1:])
+        return cls(
+            children[0],
+            next(it) if has_iu else None,
+            next(it) if has_diag else None,
+        )
+
+    @property
+    def n_users(self) -> int:
+        return int(self.ur.shape[0])
+
+    @property
+    def n_items(self) -> int:
+        return int(self.ur.shape[1])
+
+    @property
+    def n_rows(self) -> int:
+        return self.n_users + self.n_items
+
+    n_cols = n_rows
+
+
+def spmm_densemat(adj: DenseMat, x: jnp.ndarray) -> jnp.ndarray:
+    return _mm(adj.mat, x, x.dtype)
+
+
+def spmm_densebip(adj: DenseBip, x: jnp.ndarray) -> jnp.ndarray:
+    u = adj.n_users
+    xu, xi = x[:u], x[u:]
+    top = _mm(adj.ur, xi, x.dtype)
+    bot = _mm(adj.iu if adj.iu is not None else adj.ur.T, xu, x.dtype)
+    out = jnp.concatenate([top, bot], axis=0)
+    if adj.diag is not None:
+        out = out + adj.diag[:, None] * x
+    return out
+
+
 def ell_union_max(a: ELL, b: ELL) -> ELL:
     """Element-wise max over the union of two ELL sparsity patterns.
 
@@ -129,6 +255,8 @@ def ell_union_max(a: ELL, b: ELL) -> ELL:
     column appears at most twice in the concatenation — sort columns within
     each row, fold adjacent duplicates with max, zero the second copy.
     """
+    if isinstance(a, DenseMat) and isinstance(b, DenseMat):
+        return DenseMat(jnp.maximum(a.mat, b.mat))
     idx = jnp.concatenate([a.idx, b.idx], axis=1)
     val = jnp.concatenate([a.val, b.val], axis=1)
     order = jnp.argsort(idx, axis=1, stable=True)
@@ -189,4 +317,8 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
         return spmm_ell(adj, x)
     if isinstance(adj, LowRank):
         return spmm_lowrank(adj, x)
+    if isinstance(adj, DenseBip):
+        return spmm_densebip(adj, x)
+    if isinstance(adj, DenseMat):
+        return spmm_densemat(adj, x)
     raise TypeError(f"unsupported adjacency type {type(adj)}")

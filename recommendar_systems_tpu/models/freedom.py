@@ -38,9 +38,15 @@ from recommendar_systems_tpu.models.layers import (
 from recommendar_systems_tpu.models.losses import bpr_loss, emb_loss
 
 
-def blend_modality_ells(image_ell: ELL, text_ell: ELL, image_weight: float) -> ELL:
+def blend_modality_ells(image_ell, text_ell, image_weight: float):
     """w * image + (1-w) * text as a single concat-ELL (duplicate edges sum
     through SpMM, matching sparse-matrix addition in `freedom.py:74-76`)."""
+    from recommendar_systems_tpu.graph.sparse import DenseMat
+
+    if isinstance(image_ell, DenseMat) and isinstance(text_ell, DenseMat):
+        return DenseMat(
+            image_weight * image_ell.mat + (1.0 - image_weight) * text_ell.mat
+        )
     idx = jnp.concatenate([image_ell.idx, text_ell.idx], axis=1)
     val = jnp.concatenate(
         [image_weight * image_ell.val, (1.0 - image_weight) * text_ell.val], axis=1
@@ -156,7 +162,8 @@ class FREEDOM(RecModel):
         w_img = float(cfg_scalar(config, "mm_image_weight", 0.1))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         norm_adj = build_norm_adj(
-            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+            data.train_users_np, data.train_items_np, data.n_users, data.n_items,
+            dense=False,  # edge slots feed per-epoch degree-weighted dropout
         )
         masked_adj, sym_perm = sym_coo_with_perm(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items

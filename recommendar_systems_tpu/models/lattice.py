@@ -189,10 +189,12 @@ class LATTICE(RecModel):
                 data.train_users_np, data.train_items_np, data.n_users, data.n_items
             ),
             "image_original_adj": build_knn_ell(
-                data.v_feat, knn_k, cache_dir=cache_dir, cache_key="lattice_image"
+                data.v_feat, knn_k, cache_dir=cache_dir, cache_key="lattice_image",
+                dense=False,  # blended slot-wise with the learned graph
             ),
             "text_original_adj": build_knn_ell(
-                data.t_feat, knn_k, cache_dir=cache_dir, cache_key="lattice_text"
+                data.t_feat, knn_k, cache_dir=cache_dir, cache_key="lattice_text",
+                dense=False,
             ),
             "v_feat": data.v_feat,
             "t_feat": data.t_feat,

@@ -90,7 +90,8 @@ class LayerGCN(RecModel):
     @classmethod
     def build_ctx(cls, config, data):
         norm_adj = build_norm_adj(
-            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+            data.train_users_np, data.train_items_np, data.n_users, data.n_items,
+            dense=False,  # edge slots feed per-epoch edge dropout
         )
         masked_adj, sym_perm = sym_coo_with_perm(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items

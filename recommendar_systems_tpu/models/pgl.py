@@ -141,7 +141,8 @@ class PGL(RecModel):
         mode = str(_s(config["mode"]) or "local")
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         norm_adj = build_norm_adj(
-            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+            data.train_users_np, data.train_items_np, data.n_users, data.n_items,
+            dense=False,  # edge slots feed per-epoch subgraph masking
         )
         masked_adj, sym_perm = sym_coo_with_perm(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items

@@ -117,7 +117,8 @@ class SELFCFED_LGN(RecModel):
     def build_ctx(cls, config, data):
         return {
             "norm_adj": build_norm_adj(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items
+                data.train_users_np, data.train_items_np, data.n_users, data.n_items,
+                dense=False,  # per-call edge dropout rescales .vals
             )
         }
 

@@ -230,7 +230,7 @@ class SMORE(RecModel):
         )
 
     @classmethod
-    def build_ctx(cls, config, data):
+    def build_ctx(cls, config, data, dense=None):
         import os
 
         def _s(v):
@@ -240,18 +240,22 @@ class SMORE(RecModel):
         text_k = int(cfg_scalar(config, "text_knn_k", 15))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
         image_adj = build_knn_ell(
-            data.v_feat, image_k, cache_dir=cache_dir, cache_key="image"
+            data.v_feat, image_k, cache_dir=cache_dir, cache_key="image",
+            dense=dense,
         )
         text_adj = build_knn_ell(
-            data.t_feat, text_k, cache_dir=cache_dir, cache_key="text"
+            data.t_feat, text_k, cache_dir=cache_dir, cache_key="text",
+            dense=dense,
         )
         fusion_adj = ell_union_max(image_adj, text_adj)
         return {
             "norm_adj": build_norm_adj(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items
+                data.train_users_np, data.train_items_np, data.n_users, data.n_items,
+                dense=dense,
             ),
             "R": build_norm_ui(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items
+                data.train_users_np, data.train_items_np, data.n_users, data.n_items,
+                dense=dense,
             ),
             "image_adj": image_adj,
             "text_adj": text_adj,

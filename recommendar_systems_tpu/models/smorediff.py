@@ -224,7 +224,9 @@ class SMOREDiff(SMOREX):
     def build_ctx(cls, config, data):
         from recommendar_systems_tpu.models.smore import SMORE as _S
 
-        ctx = _S.build_ctx(config, data)
+        # SMOREDiff addresses R's edge slots (soft-R rescaling) and the
+        # fusion graph's neighbor lists (hard-negative pools) -> keep sparse
+        ctx = _S.build_ctx(config, data, dense=False)
         # host-precomputed hard negatives per train edge (`smorediff.py:155-177,
         # 188-205`): user candidate pool = fusion-kNN neighbors of the user's
         # positives minus positives; fall back to the positive's own kNN then

@@ -30,7 +30,7 @@ def test_norm_adj_matches_dense_oracle():
     # dedup
     pairs = np.unique(np.stack([u, i], 1), axis=0)
     u, i = pairs[:, 0], pairs[:, 1]
-    adj = build_norm_adj(u, i, n_users, n_items)
+    adj = build_norm_adj(u, i, n_users, n_items, dense=False)
     dense = np.zeros((n_users + n_items, n_users + n_items))
     dense[np.asarray(adj.rows), np.asarray(adj.cols)] = np.asarray(adj.vals)
     oracle = _dense_norm_adj(u, i, n_users, n_items)
@@ -43,7 +43,7 @@ def test_spmm_coo_matches_dense():
     u = rng.integers(0, n_users, 80)
     i = rng.integers(0, n_items, 80)
     pairs = np.unique(np.stack([u, i], 1), axis=0)
-    adj = build_norm_adj(pairs[:, 0], pairs[:, 1], n_users, n_items)
+    adj = build_norm_adj(pairs[:, 0], pairs[:, 1], n_users, n_items, dense=False)
     x = rng.normal(size=(n_users + n_items, 8)).astype(np.float32)
     got = np.asarray(spmm_coo(adj, jnp.asarray(x)))
     dense = np.zeros((adj.n_rows, adj.n_cols), dtype=np.float64)
@@ -72,7 +72,7 @@ def test_norm_ui_rows():
     i = rng.integers(0, 8, 30)
     pairs = np.unique(np.stack([u, i], 1), axis=0)
     u, i = pairs[:, 0], pairs[:, 1]
-    R = build_norm_ui(u, i, 10, 8)
+    R = build_norm_ui(u, i, 10, 8, dense=False)
     du = np.bincount(u, minlength=10)
     di = np.bincount(i, minlength=8)
     vals = np.asarray(R.vals)
@@ -90,3 +90,49 @@ def test_edge_info():
     assert edges.shape == (2, 4)
     # user 0 has degree 2, item 0 degree 2 -> value 1/2
     assert abs(vals[0] - 0.5) < 1e-5
+
+
+def test_dense_builders_match_sparse():
+    """DenseBip/DenseMat propagation == COO segment-sum for every builder."""
+    from recommendar_systems_tpu.graph.build import (
+        build_mean_adj,
+        build_rw_adj_selfloop,
+    )
+    from recommendar_systems_tpu.graph.sparse import spmm
+
+    rng = np.random.default_rng(7)
+    n_users, n_items = 23, 17
+    u = rng.integers(0, n_users, 120)
+    i = rng.integers(0, n_items, 120)
+    pairs = np.unique(np.stack([u, i], 1), axis=0)
+    u, i = pairs[:, 0], pairs[:, 1]
+    x = jnp.asarray(rng.normal(size=(n_users + n_items, 6)).astype(np.float32))
+    xr = jnp.asarray(rng.normal(size=(n_items, 6)).astype(np.float32))
+
+    for builder in (build_norm_adj, build_mean_adj, build_rw_adj_selfloop):
+        sp = builder(u, i, n_users, n_items, dense=False)
+        dn = builder(u, i, n_users, n_items, dense=True)
+        np.testing.assert_allclose(
+            np.asarray(spmm(dn, x)), np.asarray(spmm(sp, x)), atol=1e-5,
+            err_msg=builder.__name__,
+        )
+
+    sp = build_norm_ui(u, i, n_users, n_items, dense=False)
+    dn = build_norm_ui(u, i, n_users, n_items, dense=True)
+    np.testing.assert_allclose(
+        np.asarray(spmm(dn, xr)), np.asarray(spmm(sp, xr)), atol=1e-5
+    )
+
+
+def test_dense_knn_matches_ell():
+    from recommendar_systems_tpu.graph.knn import build_knn_ell
+    from recommendar_systems_tpu.graph.sparse import spmm
+
+    rng = np.random.default_rng(8)
+    feats = rng.normal(size=(30, 12)).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(30, 5)).astype(np.float32))
+    ell = build_knn_ell(feats, 4, dense=False)
+    dns = build_knn_ell(feats, 4, dense=True)
+    np.testing.assert_allclose(
+        np.asarray(spmm(dns, x)), np.asarray(spmm(ell, x)), atol=1e-5
+    )
