@@ -175,11 +175,16 @@ class Trainer:
         self.has_net_state = bool(self.net_state)
         if self.mesh is not None:
             data = self.data
+            dims = [data.n_users, data.n_items, data.n_users + data.n_items]
+            shard_tables = bool(self.config.get("shard_embedding_tables", True))
             self.params = shard_params(
-                self.params,
-                self.mesh,
-                table_dims=[data.n_users, data.n_items, data.n_users + data.n_items],
-                shard_tables=bool(self.config.get("shard_embedding_tables", True)),
+                self.params, self.mesh, table_dims=dims, shard_tables=shard_tables
+            )
+            # ctx adjacencies ride the same layout: dense graph blocks and
+            # ELL neighbor lists whose leading dim is a node count are
+            # row-sharded over 'model' so each chip propagates its rows
+            self.ctx = shard_params(
+                self.ctx, self.mesh, table_dims=dims, shard_tables=shard_tables
             )
         self.opt_state = self.tx.init(self.params)
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(self.params))
