@@ -11,6 +11,12 @@ TPU mapping: GAT attention = dot scores + segment-softmax over destination
 nodes; SAGE = scatter of weighted source embeddings; the routing iterations
 update the user preference table from item content over the reversed edges
 (items -> users), the published GRCN routing semantics.
+
+Dense fast path: when the [U, I] block fits the densify threshold the
+attention becomes a masked softmax over the dense score matrix
+``Xdst @ Xsrc^T`` and every propagation an MXU matmul — exactly equivalent
+to the per-edge segment softmax (the count mask reproduces duplicate-edge
+multiplicity in both numerator and denominator).
 """
 
 from __future__ import annotations
@@ -56,6 +62,24 @@ class GRCN(RecModel):
             self.t_pref = self.param("t_preference", xavier_normal, (self.n_users, c))
             self.t_mlp = Dense(c, kernel_init=xavier_normal, name="t_mlp")
 
+    @staticmethod
+    def _masked_softmax(scores, mask):
+        """Row softmax over masked entries; empty rows -> all-zero rows
+        (parity with segment softmax over empty segments).  ``mask`` holds
+        edge multiplicities, weighting numerator and denominator alike."""
+        neg = jnp.finfo(scores.dtype).min
+        sm = jnp.where(mask > 0, scores, neg)
+        mx = jnp.max(sm, axis=1, keepdims=True)
+        mx = jnp.where(mx > neg / 2, mx, 0.0)
+        e = mask * jnp.exp(sm - mx)
+        d = e.sum(axis=1, keepdims=True)
+        return e / jnp.maximum(d, 1e-16)
+
+    def _gat_dense(self, x_dst, x_src, mask):
+        """(P @ x_src, P) where P = masked row softmax of x_dst @ x_src^T."""
+        p = self._masked_softmax(x_dst @ x_src.T, mask)
+        return p @ x_src, p
+
     def _gat(self, x, src, dst, sorted_dst=False):
         """Dot-attention conv (`grcn.py:46-76`): returns (out, alpha)."""
         alpha = jnp.sum(x[dst] * x[src], axis=-1)
@@ -70,6 +94,21 @@ class GRCN(RecModel):
         if self.has_norm:
             pref = l2_normalize(pref)
             features = l2_normalize(features)
+        mask = ctx.get("mask_ui")
+        if mask is not None:
+            # dense routing: users attend over their interacted items
+            for _ in range(self.num_routing):
+                upd, _ = self._gat_dense(pref, features, mask)
+                pref = pref + upd
+                if self.has_norm:
+                    pref = l2_normalize(pref)
+            x = jnp.concatenate([pref, features], axis=0)
+            out_u, p_u = self._gat_dense(pref, features, mask)
+            out_i, p_i = self._gat_dense(features, pref, mask.T)
+            out = jnp.concatenate([out_u, out_i], axis=0)
+            if self.has_act:
+                out = nn.leaky_relu(out, negative_slope=0.01)
+            return x + out, (p_u, p_i), pref
         # routing: items -> users over reversed single-direction edges
         src_i, dst_u = ctx["edge_i_node"], ctx["edge_u"]
         for _ in range(self.num_routing):
@@ -101,37 +140,65 @@ class GRCN(RecModel):
             )
             contents.append(t_rep)
             weights.append(a_t)
-        weight = jnp.stack(weights, axis=1)  # [2E, M]
-
-        if self.weight_mode == "mean":
-            weight = weight.mean(axis=1)
-        elif self.weight_mode == "max":
-            weight = weight.max(axis=1)
-        else:  # confid (`grcn.py:271-279`)
-            # reference: cat(conf[edge_index[0]], conf[edge_index[1]]) over
-            # the doubled edge list == conf[source] per symmetric edge,
-            # which stays correct under our dst-sorted edge ordering
-            confidence = self.model_specific_conf[ctx["sym_src"]]  # [2E, M]
-            weight = (weight * confidence).max(axis=1)
-        weight = jax.nn.relu(weight)  # pruning (`grcn.py:282-284`)
-
-        # EGCN (`grcn.py:80-109`): weighted SAGE, x + h1 + h2
         x = self.id_embedding
         if self.has_norm:
             x = l2_normalize(x)
-        h1 = scatter_weighted_sum(
-            x[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0],
-            indices_are_sorted=True,
-        )
-        if self.has_act:
-            h1 = nn.leaky_relu(h1, negative_slope=0.01)
-        h2 = scatter_weighted_sum(
-            h1[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0],
-            indices_are_sorted=True,
-        )
-        if self.has_act:
-            h2 = nn.leaky_relu(h2, negative_slope=0.01)
-        id_rep = x + h1 + h2
+
+        if ctx.get("mask_ui") is not None:
+            # dense EGCN: combine per-modality attention blocks, weighted
+            # SAGE = two block matmuls per hop
+            pu = jnp.stack([wgt[0] for wgt in weights], axis=-1)  # [U, I, M]
+            pi = jnp.stack([wgt[1] for wgt in weights], axis=-1)  # [I, U, M]
+            if self.weight_mode == "mean":
+                w_ui, w_iu = pu.mean(-1), pi.mean(-1)
+            elif self.weight_mode == "max":
+                w_ui, w_iu = pu.max(-1), pi.max(-1)
+            else:  # confid: confidence of the SOURCE node per modality
+                conf_u = self.model_specific_conf[: self.n_users]   # [U, M]
+                conf_i = self.model_specific_conf[self.n_users :]   # [I, M]
+                w_ui = (pu * conf_i[None, :, :]).max(-1)
+                w_iu = (pi * conf_u[None, :, :]).max(-1)
+            w_ui = jax.nn.relu(w_ui)
+            w_iu = jax.nn.relu(w_iu)
+            xu, xi = x[: self.n_users], x[self.n_users :]
+            h1u, h1i = w_ui @ xi, w_iu @ xu
+            h1 = jnp.concatenate([h1u, h1i], axis=0)
+            if self.has_act:
+                h1 = nn.leaky_relu(h1, negative_slope=0.01)
+                h1u, h1i = h1[: self.n_users], h1[self.n_users :]
+            h2 = jnp.concatenate([w_ui @ h1i, w_iu @ h1u], axis=0)
+            if self.has_act:
+                h2 = nn.leaky_relu(h2, negative_slope=0.01)
+            id_rep = x + h1 + h2
+        else:
+            weight = jnp.stack(weights, axis=1)  # [2E, M]
+
+            if self.weight_mode == "mean":
+                weight = weight.mean(axis=1)
+            elif self.weight_mode == "max":
+                weight = weight.max(axis=1)
+            else:  # confid (`grcn.py:271-279`)
+                # reference: cat(conf[edge_index[0]], conf[edge_index[1]]) over
+                # the doubled edge list == conf[source] per symmetric edge,
+                # which stays correct under our dst-sorted edge ordering
+                confidence = self.model_specific_conf[ctx["sym_src"]]  # [2E, M]
+                weight = (weight * confidence).max(axis=1)
+            weight = jax.nn.relu(weight)  # pruning (`grcn.py:282-284`)
+
+            # EGCN (`grcn.py:80-109`): weighted SAGE, x + h1 + h2
+            h1 = scatter_weighted_sum(
+                x[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0],
+                indices_are_sorted=True,
+            )
+            if self.has_act:
+                h1 = nn.leaky_relu(h1, negative_slope=0.01)
+            h2 = scatter_weighted_sum(
+                h1[ctx["sym_src"]], weight, ctx["sym_dst"], x.shape[0],
+                indices_are_sorted=True,
+            )
+            if self.has_act:
+                h2 = nn.leaky_relu(h2, negative_slope=0.01)
+            id_rep = x + h1 + h2
 
         if self.fusion_mode == "concat":
             rep = jnp.concatenate([id_rep] + contents, axis=1)
@@ -200,6 +267,17 @@ class GRCN(RecModel):
             "sym_src": jnp.asarray(sym_src[order_sym], dtype=jnp.int32),
             "sym_dst": jnp.asarray(sym_dst[order_sym], dtype=jnp.int32),
         }
+        from recommendar_systems_tpu.graph.sparse import dense_ok
+
+        if dense_ok(data.n_users, data.n_items):
+            m = np.zeros((data.n_users, data.n_items), np.float32)
+            np.add.at(
+                m,
+                (data.train_users_np.astype(np.int64),
+                 data.train_items_np.astype(np.int64)),
+                1.0,
+            )
+            ctx["mask_ui"] = jnp.asarray(m)  # edge multiplicity counts
         if data.v_feat is not None:
             ctx["v_feat"] = data.v_feat
         if data.t_feat is not None:

@@ -1,6 +1,8 @@
 """End-to-end tests for the graph/multimodal model batch."""
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 import pytest
 
 from recommendar_systems_tpu.data.arrays import build_data_bundle
@@ -120,3 +122,49 @@ def test_freedom_dropout_degree_bias(ds):
     top = w >= np.median(w)
     # Gumbel-top-k with log-weight keys keeps heavier edges more often
     assert keep_counts[top].mean() > keep_counts[~top].mean() + 1
+
+
+def test_grcn_dense_equals_sparse():
+    """Dense masked-softmax attention == per-edge segment softmax (loss+grad)."""
+    from jax.flatten_util import ravel_pytree
+    from recommendar_systems_tpu.graph import sparse as S
+
+    ds = generate_synthetic(
+        n_users=60, n_items=40, n_inter=900, v_dim=12, t_dim=10, seed=5
+    )
+    cfg = make_config("GRCN", epochs=1)
+    for ax in cfg["hyper_parameters"]:
+        v = cfg[ax]
+        if isinstance(v, list) and v:
+            cfg[ax] = v[0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("GRCN")
+    model = cls.from_config(cfg, data)
+    thresh = S._DENSE_THRESHOLD
+    try:
+        S.set_dense_threshold(0)
+        ctx_sp = cls.build_ctx(cfg, data)
+        S.set_dense_threshold(int(1.5e9))
+        ctx_dn = cls.build_ctx(cfg, data)
+    finally:
+        S.set_dense_threshold(thresh)
+    assert "mask_ui" in ctx_dn and "mask_ui" not in ctx_sp
+    batch = {
+        "users": jnp.asarray([0, 3, 5, 7]),
+        "pos_items": jnp.asarray([1, 2, 3, 4]),
+        "neg_items": jnp.asarray([9, 8, 7, 6]),
+        "weight": jnp.ones(4),
+    }
+    params = model.init(jax.random.key(0), ctx_sp, batch, True, method="loss")[
+        "params"
+    ]
+
+    def loss_of(ctx):
+        return lambda p: model.apply({"params": p}, ctx, batch, True, method="loss")[0]
+
+    np.testing.assert_allclose(
+        float(loss_of(ctx_sp)(params)), float(loss_of(ctx_dn)(params)), rtol=2e-5
+    )
+    fa, _ = ravel_pytree(jax.grad(loss_of(ctx_sp))(params))
+    fb, _ = ravel_pytree(jax.grad(loss_of(ctx_dn))(params))
+    assert float(jnp.max(jnp.abs(fa - fb))) < 3e-5
