@@ -72,6 +72,7 @@ def degree_weighted_edge_dropout(
     Gumbel-top-k equivalence — renormalizes the kept bipartite subgraph
     (`freedom.py:147-157`), and scatters the values into the symmetric COO
     slot order given by ``sym_perm``.  Dropped edges get value 0.
+    ``sym_perm=None`` returns the per-u-i-edge values instead (dense mode).
     """
     E = edge_values.shape[0]
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(rng, (E,)) + 1e-20) + 1e-20)
@@ -81,7 +82,18 @@ def degree_weighted_edge_dropout(
     du = jax.ops.segment_sum(mask, edge_u, num_segments=n_users)
     di = jax.ops.segment_sum(mask, edge_i, num_segments=n_items)
     vals = mask * (du[edge_u] + 1e-7) ** -0.5 * (di[edge_i] + 1e-7) ** -0.5
+    if sym_perm is None:
+        return vals
     return jnp.concatenate([vals, vals])[sym_perm]
+
+
+def dense_masked_bip(edge_u, edge_i, vals, n_users: int, n_items: int):
+    """Scatter per-edge values into a DenseBip block (once per epoch — the
+    single scatter amortizes over every step of the epoch)."""
+    from recommendar_systems_tpu.graph.sparse import DenseBip
+
+    ur = jnp.zeros((n_users, n_items), jnp.float32).at[edge_u, edge_i].add(vals)
+    return DenseBip(ur)
 
 
 class FREEDOM(RecModel):
@@ -161,12 +173,12 @@ class FREEDOM(RecModel):
         knn_k = int(cfg_scalar(config, "knn_k", 10))
         w_img = float(cfg_scalar(config, "mm_image_weight", 0.1))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
+        from recommendar_systems_tpu.graph.sparse import dense_ok
+
+        dense_ui = dense_ok(data.n_users, data.n_items)
         norm_adj = build_norm_adj(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items,
-            dense=False,  # edge slots feed per-epoch degree-weighted dropout
-        )
-        masked_adj, sym_perm = sym_coo_with_perm(
-            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+            dense=dense_ui or False,
         )
         edges, edge_values = build_edge_info(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items
@@ -186,13 +198,27 @@ class FREEDOM(RecModel):
             mm_adj = blend_modality_ells(img_ell, txt_ell, w_img)
         else:
             mm_adj = img_ell if img_ell is not None else txt_ell
+        edge_u = jnp.asarray(edges[0], dtype=jnp.int32)
+        edge_i = jnp.asarray(edges[1], dtype=jnp.int32)
+        if dense_ui:
+            masked_adj = dense_masked_bip(
+                edge_u, edge_i, jnp.asarray(edge_values),
+                data.n_users, data.n_items,
+            )
+            sym_perm = None
+        else:
+            masked_coo, sym_perm = sym_coo_with_perm(
+                data.train_users_np, data.train_items_np,
+                data.n_users, data.n_items,
+            )
+            masked_adj = masked_coo.with_values(norm_adj.vals)
         ctx = {
             "norm_adj": norm_adj,
             # start with the full graph; pre_epoch overwrites values
-            "masked_adj": masked_adj.with_values(norm_adj.vals),
+            "masked_adj": masked_adj,
             "sym_perm": sym_perm,
-            "edge_u": jnp.asarray(edges[0], dtype=jnp.int32),
-            "edge_i": jnp.asarray(edges[1], dtype=jnp.int32),
+            "edge_u": edge_u,
+            "edge_i": edge_i,
             "edge_values": jnp.asarray(edge_values),
             "mm_adj": mm_adj,
         }
@@ -207,14 +233,23 @@ class FREEDOM(RecModel):
         dropout = float(cfg_scalar(config, "dropout", 0.0))
         if isinstance(config.get("dropout"), list):
             dropout = float(config["dropout"][0])
+        dense_ui = ctx["sym_perm"] is None
+        n_items = int(config["__n_items__"])
+        n_users = int(config["__n_users__"])
         if dropout <= 0.0:
             ctx = dict(ctx)
-            ctx["masked_adj"] = ctx["masked_adj"].with_values(ctx["norm_adj"].vals)
+            if dense_ui:
+                ctx["masked_adj"] = dense_masked_bip(
+                    ctx["edge_u"], ctx["edge_i"], ctx["edge_values"],
+                    n_users, n_items,
+                )
+            else:
+                ctx["masked_adj"] = ctx["masked_adj"].with_values(
+                    ctx["norm_adj"].vals
+                )
             return ctx
         E = ctx["edge_values"].shape[0]
         keep_len = int(E * (1.0 - dropout))
-        n_items = int(config["__n_items__"])
-        n_users = int(config["__n_users__"])
         vals = degree_weighted_edge_dropout(
             rng,
             ctx["edge_u"],
@@ -226,7 +261,12 @@ class FREEDOM(RecModel):
             keep_len,
         )
         ctx = dict(ctx)
-        ctx["masked_adj"] = ctx["masked_adj"].with_values(vals)
+        if dense_ui:
+            ctx["masked_adj"] = dense_masked_bip(
+                ctx["edge_u"], ctx["edge_i"], vals, n_users, n_items
+            )
+        else:
+            ctx["masked_adj"] = ctx["masked_adj"].with_values(vals)
         return ctx
 
 

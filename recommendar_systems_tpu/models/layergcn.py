@@ -89,22 +89,37 @@ class LayerGCN(RecModel):
 
     @classmethod
     def build_ctx(cls, config, data):
+        from recommendar_systems_tpu.graph.sparse import dense_ok
+        from recommendar_systems_tpu.models.freedom import dense_masked_bip
+
+        dense_ui = dense_ok(data.n_users, data.n_items)
         norm_adj = build_norm_adj(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items,
-            dense=False,  # edge slots feed per-epoch edge dropout
-        )
-        masked_adj, sym_perm = sym_coo_with_perm(
-            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+            dense=dense_ui or False,
         )
         edges, edge_values = build_edge_info(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items
         )
+        edge_u = jnp.asarray(edges[0], dtype=jnp.int32)
+        edge_i = jnp.asarray(edges[1], dtype=jnp.int32)
+        if dense_ui:
+            masked_adj = dense_masked_bip(
+                edge_u, edge_i, jnp.asarray(edge_values),
+                data.n_users, data.n_items,
+            )
+            sym_perm = None
+        else:
+            masked_coo, sym_perm = sym_coo_with_perm(
+                data.train_users_np, data.train_items_np,
+                data.n_users, data.n_items,
+            )
+            masked_adj = masked_coo.with_values(norm_adj.vals)
         return {
             "norm_adj": norm_adj,
-            "masked_adj": masked_adj.with_values(norm_adj.vals),
+            "masked_adj": masked_adj,
             "sym_perm": sym_perm,
-            "edge_u": jnp.asarray(edges[0], dtype=jnp.int32),
-            "edge_i": jnp.asarray(edges[1], dtype=jnp.int32),
+            "edge_u": edge_u,
+            "edge_i": edge_i,
             "edge_values": jnp.asarray(edge_values),
             # epoch parity for the alternating pruning mode
             "prune_random": jnp.zeros((), jnp.int32),
@@ -116,14 +131,25 @@ class LayerGCN(RecModel):
         if isinstance(dropout, list):
             dropout = dropout[0]
         dropout = float(dropout)
+        from recommendar_systems_tpu.models.freedom import dense_masked_bip
+
+        dense_ui = ctx["sym_perm"] is None
+        n_users = int(config["__n_users__"])
+        n_items = int(config["__n_items__"])
         ctx = dict(ctx)
         if dropout <= 0.0:
-            ctx["masked_adj"] = ctx["masked_adj"].with_values(ctx["norm_adj"].vals)
+            if dense_ui:
+                ctx["masked_adj"] = dense_masked_bip(
+                    ctx["edge_u"], ctx["edge_i"], ctx["edge_values"],
+                    n_users, n_items,
+                )
+            else:
+                ctx["masked_adj"] = ctx["masked_adj"].with_values(
+                    ctx["norm_adj"].vals
+                )
             return ctx
         E = ctx["edge_values"].shape[0]
         keep_len = int(E * (1.0 - dropout))
-        n_users = int(config["__n_users__"])
-        n_items = int(config["__n_items__"])
 
         def weighted(rng):
             return degree_weighted_edge_dropout(
@@ -138,7 +164,12 @@ class LayerGCN(RecModel):
             )
 
         vals = jax.lax.cond(ctx["prune_random"] % 2 == 1, uniform, weighted, rng)
-        ctx["masked_adj"] = ctx["masked_adj"].with_values(vals)
+        if dense_ui:
+            ctx["masked_adj"] = dense_masked_bip(
+                ctx["edge_u"], ctx["edge_i"], vals, n_users, n_items
+            )
+        else:
+            ctx["masked_adj"] = ctx["masked_adj"].with_values(vals)
         ctx["prune_random"] = ctx["prune_random"] + 1
         return ctx
 

@@ -140,12 +140,14 @@ class PGL(RecModel):
         w_img = float(cfg_scalar(config, "mm_image_weight", 0.1))
         mode = str(_s(config["mode"]) or "local")
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
+        from recommendar_systems_tpu.graph.sparse import dense_ok
+        from recommendar_systems_tpu.models.freedom import dense_masked_bip
+
+        # global mode runs randomized SVD through spmm_coo -> stays sparse
+        dense_ui = mode == "local" and dense_ok(data.n_users, data.n_items)
         norm_adj = build_norm_adj(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items,
-            dense=False,  # edge slots feed per-epoch subgraph masking
-        )
-        masked_adj, sym_perm = sym_coo_with_perm(
-            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+            dense=dense_ui or False,
         )
         edges, edge_values = build_edge_info(
             data.train_users_np, data.train_items_np, data.n_users, data.n_items
@@ -158,12 +160,26 @@ class PGL(RecModel):
             data.t_feat, knn_k, weighted=False,
             cache_dir=cache_dir, cache_key="pgl_text",
         )
+        edge_u = jnp.asarray(edges[0], dtype=jnp.int32)
+        edge_i = jnp.asarray(edges[1], dtype=jnp.int32)
+        if dense_ui:
+            sub_graph = dense_masked_bip(
+                edge_u, edge_i, jnp.asarray(edge_values),
+                data.n_users, data.n_items,
+            )
+            sym_perm = None
+        else:
+            masked_adj, sym_perm = sym_coo_with_perm(
+                data.train_users_np, data.train_items_np,
+                data.n_users, data.n_items,
+            )
+            sub_graph = masked_adj.with_values(norm_adj.vals)
         ctx = {
             "norm_adj": norm_adj,
-            "sub_graph": masked_adj.with_values(norm_adj.vals),
+            "sub_graph": sub_graph,
             "sym_perm": sym_perm,
-            "edge_u": jnp.asarray(edges[0], dtype=jnp.int32),
-            "edge_i": jnp.asarray(edges[1], dtype=jnp.int32),
+            "edge_u": edge_u,
+            "edge_i": edge_i,
             "edge_values": jnp.asarray(edge_values),
             "mm_adj": blend_modality_ells(img, txt, w_img),
             "v_feat": data.v_feat,
@@ -194,13 +210,21 @@ class PGL(RecModel):
             return ctx
         E = ctx["edge_values"].shape[0]
         keep_len = int(E * 0.3)  # `pgl.py:171`: keep 30%
+        from recommendar_systems_tpu.models.freedom import dense_masked_bip
+
         vals = degree_weighted_edge_dropout(
             rng, ctx["edge_u"], ctx["edge_i"], ctx["edge_values"],
             ctx["sym_perm"], int(config["__n_users__"]), int(config["__n_items__"]),
             keep_len,
         )
         ctx = dict(ctx)
-        ctx["sub_graph"] = ctx["sub_graph"].with_values(vals)
+        if ctx["sym_perm"] is None:
+            ctx["sub_graph"] = dense_masked_bip(
+                ctx["edge_u"], ctx["edge_i"], vals,
+                int(config["__n_users__"]), int(config["__n_items__"]),
+            )
+        else:
+            ctx["sub_graph"] = ctx["sub_graph"].with_values(vals)
         return ctx
 
 

@@ -45,12 +45,24 @@ def test_freedom_learns(ds):
     assert losses[-1] < losses[0]
 
 
+def _sparse_ctx(cls, cfg, data):
+    """Build ctx with densification off (these tests inspect COO slots)."""
+    from recommendar_systems_tpu.graph import sparse as S
+
+    thresh = S._DENSE_THRESHOLD
+    try:
+        S.set_dense_threshold(0)
+        return cls.build_ctx(cfg, data)
+    finally:
+        S.set_dense_threshold(thresh)
+
+
 def test_freedom_edge_dropout_changes_adj(ds):
     cfg = make_config("FREEDOM", epochs=1, reg_weight=1e-5, dropout=0.8)
     data = build_data_bundle(ds, cfg)
     cls = get_model("FREEDOM")
     model = cls.from_config(cfg, data)
-    ctx = cls.build_ctx(cfg, data)
+    ctx = _sparse_ctx(cls, cfg, data)
     import jax
 
     cfg_d = dict(cfg.final_config)
@@ -104,7 +116,7 @@ def test_freedom_dropout_degree_bias(ds):
     cfg = make_config("FREEDOM", epochs=1, reg_weight=1e-5, dropout=0.5)
     data = build_data_bundle(ds, cfg)
     cls = get_model("FREEDOM")
-    ctx = cls.build_ctx(cfg, data)
+    ctx = _sparse_ctx(cls, cfg, data)
     cfg_d = dict(cfg.final_config)
     cfg_d["__n_users__"] = data.n_users
     cfg_d["__n_items__"] = data.n_items
@@ -168,3 +180,35 @@ def test_grcn_dense_equals_sparse():
     fa, _ = ravel_pytree(jax.grad(loss_of(ctx_sp))(params))
     fb, _ = ravel_pytree(jax.grad(loss_of(ctx_dn))(params))
     assert float(jnp.max(jnp.abs(fa - fb))) < 3e-5
+
+
+def test_freedom_dense_masked_adj_equals_sparse(ds):
+    """Per-epoch dense masked DenseBip == COO masked adjacency propagation."""
+    from recommendar_systems_tpu.graph import sparse as S
+    from recommendar_systems_tpu.graph.sparse import spmm
+
+    cfg = make_config("FREEDOM", epochs=1, reg_weight=1e-5, dropout=0.4)
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("FREEDOM")
+    ctx_sp = _sparse_ctx(cls, cfg, data)
+    thresh = S._DENSE_THRESHOLD
+    try:
+        S.set_dense_threshold(int(1.5e9))
+        ctx_dn = cls.build_ctx(cfg, data)
+    finally:
+        S.set_dense_threshold(thresh)
+    assert ctx_dn["sym_perm"] is None and ctx_sp["sym_perm"] is not None
+    cfg_d = dict(cfg.final_config)
+    cfg_d["__n_users__"] = data.n_users
+    cfg_d["__n_items__"] = data.n_items
+    ctx_sp2 = cls.pre_epoch(ctx_sp, jax.random.key(3), cfg_d)
+    ctx_dn2 = cls.pre_epoch(ctx_dn, jax.random.key(3), cfg_d)
+    n = data.n_users + data.n_items
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(spmm(ctx_dn2["masked_adj"], x)),
+        np.asarray(spmm(ctx_sp2["masked_adj"], x)),
+        atol=1e-5,
+    )
