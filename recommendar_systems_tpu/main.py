@@ -27,7 +27,21 @@ def main() -> None:
         metavar="KEY=VALUE",
         help="config overrides, e.g. --config epochs=5 device=cpu",
     )
-    args, _ = parser.parse_known_args()
+    parser.add_argument(
+        "--overrides",
+        type=str,
+        default=None,
+        help='config overrides as one JSON object, e.g. \'{"epochs": 5}\'',
+    )
+    parser.add_argument(
+        "--device",
+        type=str,
+        default=None,
+        choices=["cpu", "tpu"],
+        help="force platform (cpu = host; default = let jax pick)",
+    )
+    # strict parsing: unknown flags are an error, not a silent no-op
+    args = parser.parse_args()
 
     overrides = {}
     for kv in args.config:
@@ -35,6 +49,12 @@ def main() -> None:
             raise SystemExit(f"--config entries must be KEY=VALUE, got {kv!r}")
         k, v = kv.split("=", 1)
         overrides[k] = _parse_value(v)
+    if args.overrides:
+        import json
+
+        overrides.update(json.loads(args.overrides))
+    if args.device:
+        overrides["device"] = args.device
 
     quick_start(
         model=args.model,

@@ -51,15 +51,33 @@ class SELFCFED_LGN(RecModel):
         adj = ctx["norm_adj"]
         if train:
             # adjacency sparse-dropout with per-forward uniform rate
+            from recommendar_systems_tpu.graph.sparse import DenseBip
+
             rate = jax.random.uniform(self.make_rng("dropout"), ())
-            keep = (
-                jax.random.uniform(
-                    self.make_rng("dropout"), adj.vals.shape
+            if isinstance(adj, DenseBip):
+                # elementwise Bernoulli on the dense block == per-edge
+                # dropout (zero entries stay zero); the two directions get
+                # independent masks like the symmetric COO slots
+                ku = jax.random.uniform(
+                    self.make_rng("dropout"), adj.ur.shape
+                ) >= rate
+                ki = jax.random.uniform(
+                    self.make_rng("dropout"), (adj.ur.shape[1], adj.ur.shape[0])
+                ) >= rate
+                scale = 1.0 / (1.0 - rate)
+                adj = DenseBip(
+                    ur=jnp.where(ku, adj.ur * scale, 0.0),
+                    iu=jnp.where(ki, adj.ur.T * scale, 0.0),
                 )
-                >= rate
-            )
-            vals = jnp.where(keep, adj.vals / (1.0 - rate), 0.0)
-            adj = adj.with_values(vals)
+            else:
+                keep = (
+                    jax.random.uniform(
+                        self.make_rng("dropout"), adj.vals.shape
+                    )
+                    >= rate
+                )
+                vals = jnp.where(keep, adj.vals / (1.0 - rate), 0.0)
+                adj = adj.with_values(vals)
         ego = jnp.concatenate([self.user_emb, self.item_emb], axis=0)
         all_emb = lightgcn_propagate(adj, ego, self.n_layers)
         return all_emb[: self.n_users], all_emb[self.n_users :]
@@ -117,8 +135,7 @@ class SELFCFED_LGN(RecModel):
     def build_ctx(cls, config, data):
         return {
             "norm_adj": build_norm_adj(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items,
-                dense=False,  # per-call edge dropout rescales .vals
+                data.train_users_np, data.train_items_np, data.n_users, data.n_items
             )
         }
 
