@@ -113,7 +113,8 @@ def build_mean_adj(
     rows = np.concatenate([u, i + n_users])
     cols = np.concatenate([i + n_users, u])
     deg = np.bincount(rows, minlength=n).astype(np.float64)
-    d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
+    with np.errstate(divide="ignore"):
+        d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
     if dense or (dense is None and dense_ok(n_users, n_items, copies=2)):
         e = len(u)
@@ -146,7 +147,8 @@ def build_rw_adj_selfloop(
     rows = np.concatenate([u, i + n_users, np.arange(n)])
     cols = np.concatenate([i + n_users, u, np.arange(n)])
     deg = np.bincount(rows, minlength=n).astype(np.float64)
-    d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
+    with np.errstate(divide="ignore"):
+        d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
     if dense or (dense is None and dense_ok(n_users, n_items, copies=2)):
         e = len(u)
