@@ -42,6 +42,13 @@ def quick_start(
 
         jax.config.update("jax_platforms", "cpu")
 
+    # graph densification budget (see graph/sparse.py): adjacencies whose
+    # dense f32 storage fits under this many MB propagate via MXU matmuls
+    if config.get("dense_graph_mb") is not None:
+        from recommendar_systems_tpu.graph.sparse import set_dense_threshold
+
+        set_dense_threshold(int(float(config["dense_graph_mb"]) * 2**20))
+
     # synthetic datasets are generated on first use (the reference ships no
     # data at all; see data/README.md there)
     if config.get("synthetic"):
