@@ -23,7 +23,9 @@ from typing import Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from recommendar_systems_tpu.graph.sparse import COO, DenseBip, DenseMat, dense_ok
+from recommendar_systems_tpu.graph.sparse import (
+    COO, DenseBip, DenseMat, dense_asarray, dense_ok,
+)
 
 
 def _dense_block(
@@ -59,7 +61,7 @@ def build_norm_adj(
     inv_i = np.power(di + 1e-7, -0.5)
     vals_ui = (inv_u[u] * inv_i[i]).astype(np.float32)
     if dense or (dense is None and dense_ok(n_users, n_items)):
-        return DenseBip(jnp.asarray(_dense_block(u, i, vals_ui, n_users, n_items)))
+        return DenseBip(dense_asarray(_dense_block(u, i, vals_ui, n_users, n_items)))
 
     rows = np.concatenate([u, i + n_users])
     cols = np.concatenate([i + n_users, u])
@@ -87,7 +89,7 @@ def build_norm_ui(
     inv_i = np.power(di + 1e-7, -0.5)
     vals = (inv_u[u] * inv_i[i]).astype(np.float32)
     if dense or (dense is None and dense_ok(n_users, n_items)):
-        return DenseMat(jnp.asarray(_dense_block(u, i, vals, n_users, n_items)))
+        return DenseMat(dense_asarray(_dense_block(u, i, vals, n_users, n_items)))
     order = np.lexsort((i, u))
     return COO(
         rows=jnp.asarray(u[order], dtype=jnp.int32),
@@ -119,8 +121,8 @@ def build_mean_adj(
     if dense or (dense is None and dense_ok(n_users, n_items, copies=2)):
         e = len(u)
         return DenseBip(
-            ur=jnp.asarray(_dense_block(u, i, vals[:e], n_users, n_items)),
-            iu=jnp.asarray(_dense_block(i, u, vals[e:], n_items, n_users)),
+            ur=dense_asarray(_dense_block(u, i, vals[:e], n_users, n_items)),
+            iu=dense_asarray(_dense_block(i, u, vals[e:], n_items, n_users)),
         )
     order = np.lexsort((cols, rows))
     return COO(
@@ -153,8 +155,8 @@ def build_rw_adj_selfloop(
     if dense or (dense is None and dense_ok(n_users, n_items, copies=2)):
         e = len(u)
         return DenseBip(
-            ur=jnp.asarray(_dense_block(u, i, vals[:e], n_users, n_items)),
-            iu=jnp.asarray(_dense_block(i, u, vals[e : 2 * e], n_items, n_users)),
+            ur=dense_asarray(_dense_block(u, i, vals[:e], n_users, n_items)),
+            iu=dense_asarray(_dense_block(i, u, vals[e : 2 * e], n_items, n_users)),
             diag=jnp.asarray(vals[2 * e :]),
         )
     order = np.lexsort((cols, rows))

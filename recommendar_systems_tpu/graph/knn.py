@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recommendar_systems_tpu.graph.sparse import ELL, DenseMat, dense_ok
+from recommendar_systems_tpu.graph.sparse import ELL, DenseMat, dense_asarray, dense_ok
 
 
 def build_sim_topk(
@@ -113,7 +113,7 @@ def build_knn_ell(
                 (np.repeat(np.arange(n), ell.k), np.asarray(ell.idx).ravel()),
                 np.asarray(ell.val).ravel(),
             )
-            return DenseMat(jnp.asarray(m))
+            return DenseMat(dense_asarray(m))
         return ell
 
     path = None

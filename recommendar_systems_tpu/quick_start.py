@@ -48,6 +48,12 @@ def quick_start(
         from recommendar_systems_tpu.graph.sparse import set_dense_threshold
 
         set_dense_threshold(int(float(config["dense_graph_mb"]) * 2**20))
+    if str(config.get("dense_graph_dtype") or "float32") == "bfloat16":
+        import jax.numpy as jnp
+
+        from recommendar_systems_tpu.graph.sparse import set_dense_dtype
+
+        set_dense_dtype(jnp.bfloat16)
 
     # synthetic datasets are generated on first use (the reference ships no
     # data at all; see data/README.md there)
