@@ -32,6 +32,10 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=3, help="timed epochs after warmup")
     p.add_argument("--batch-size", type=int, default=2048)
     p.add_argument("--cpu", action="store_true", help="debug: run on host CPU")
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 adjacency storage + SpMM compute (f32 accumulation)",
+    )
     args = p.parse_args()
 
     import jax
@@ -63,7 +67,8 @@ def main() -> None:
         cmd = [_sys.executable, os.path.abspath(__file__), "--model", model_name,
                "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
                "--users", str(args.users), "--items", str(args.items),
-               "--inters", str(args.inters)] + (["--cpu"] if args.cpu else [])
+               "--inters", str(args.inters)] + (["--cpu"] if args.cpu else []) \
+              + (["--bf16"] if args.bf16 else [])
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=budget,
@@ -101,6 +106,13 @@ def _run_one(args, model_name: str) -> None:
             "seed": [0],
         },
     )
+    if args.bf16:
+        import jax.numpy as jnp
+
+        from recommendar_systems_tpu.graph.sparse import set_dense_dtype
+
+        set_dense_dtype(jnp.bfloat16)
+        cfg["compute_dtype"] = "bfloat16"
     for ax in cfg["hyper_parameters"]:
         v = cfg[ax]
         if isinstance(v, list) and v:
@@ -180,6 +192,7 @@ def _run_one(args, model_name: str) -> None:
                     "eval_users_per_s": round(eval_ups, 1),
                     "epoch_time_s": round(dt / args.epochs, 3),
                     "n_train": n_train,
+                    "dtype": "bf16" if args.bf16 else "f32",
                     "dataset": f"synthetic-baby({args.users}u/{args.items}i)",
                     "baseline_ref": "reference PyTorch on host CPU (BASELINE_MEASURED.json)",
                 },

@@ -491,9 +491,20 @@ class Trainer:
                     )
                     self.logger.info(f"resumed from checkpoint at epoch {start_epoch - 1}")
 
+        # optional JAX profiler trace of one steady-state epoch (the
+        # reference's only profiling surface is wall-clock epoch timing,
+        # trainer.py:410,426-428; on TPU a real trace is the useful form)
+        profile_epoch = self.config.get("profile_epoch")
+        profile_epoch = None if profile_epoch in (None, "", False) else int(profile_epoch)
+        profile_dir = str(self.config.get("profile_dir") or "./log/profile")
+
         cur_step = 0
         for epoch_idx in range(start_epoch, self.epochs):
             t0 = time.time()
+            tracing = profile_epoch is not None and epoch_idx == profile_epoch
+            if tracing:
+                os.makedirs(profile_dir, exist_ok=True)
+                jax.profiler.start_trace(profile_dir)
             if self.req_training:
                 # per-epoch LR decay (reference trainer.py:96-99, applied per epoch)
                 self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
@@ -518,6 +529,11 @@ class Trainer:
                     break
             else:
                 train_loss = 0.0
+            if tracing:
+                jax.profiler.stop_trace()
+                self.logger.info(
+                    f"profiler trace of epoch {epoch_idx} written to {profile_dir}"
+                )
             self.train_loss_dict[epoch_idx] = train_loss
             if writer is not None and self.req_training:
                 scalars = {"loss/total": train_loss,

@@ -83,6 +83,33 @@ def test_recall2_metric_available():
     assert abs(res["recall2@2"] - 2 / 3) < 1e-4  # results round to 4 decimals
 
 
+def test_profiler_trace_epoch(tmp_path):
+    """`profile_epoch` wraps one epoch in a JAX profiler trace (SURVEY §5)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from recommendar_systems_tpu.data.arrays import build_data_bundle
+    from recommendar_systems_tpu.data.synthetic import generate_synthetic
+    from recommendar_systems_tpu.models import get_model
+    from recommendar_systems_tpu.train.trainer import Trainer
+    from conftest import make_config
+
+    ds = generate_synthetic(n_users=60, n_items=40, n_inter=900, v_dim=8,
+                            t_dim=8, seed=1)
+    cfg = make_config("BPR", epochs=2, reg_weight=0.001,
+                      profile_epoch=1, profile_dir=str(tmp_path / "prof"))
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("BPR")
+    trainer = Trainer(cfg, cls.from_config(cfg, data), {}, data)
+    trainer.init_state(0)
+    trainer.fit(saved=False, verbose=False)
+    import glob
+    traces = glob.glob(str(tmp_path / "prof" / "**" / "*.trace.json*"),
+                       recursive=True) + glob.glob(
+        str(tmp_path / "prof" / "**" / "*.xplane.pb"), recursive=True)
+    assert traces, "no profiler trace artifacts written"
+
+
 def test_plot_train_loss_and_grad_groups(tmp_path):
     import jax
 
