@@ -36,6 +36,14 @@ def main() -> None:
         "--bf16", action="store_true",
         help="bfloat16 adjacency storage + SpMM compute (f32 accumulation)",
     )
+    p.add_argument(
+        "--profile", type=str, default=None, metavar="DIR",
+        help="wrap the timed epochs in a JAX profiler trace written to DIR",
+    )
+    p.add_argument(
+        "--no-fused", action="store_true",
+        help="disable the fused one-pass bidirectional propagation kernel",
+    )
     args = p.parse_args()
 
     import jax
@@ -68,7 +76,8 @@ def main() -> None:
                "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
                "--users", str(args.users), "--items", str(args.items),
                "--inters", str(args.inters)] + (["--cpu"] if args.cpu else []) \
-              + (["--bf16"] if args.bf16 else [])
+              + (["--bf16"] if args.bf16 else []) \
+              + (["--no-fused"] if args.no_fused else [])
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=budget,
@@ -113,6 +122,9 @@ def _run_one(args, model_name: str) -> None:
 
         set_dense_dtype(jnp.bfloat16)
         cfg["compute_dtype"] = "bfloat16"
+    from recommendar_systems_tpu.graph.sparse import set_fused_bip
+
+    set_fused_bip(not args.no_fused)
     for ax in cfg["hyper_parameters"]:
         v = cfg[ax]
         if isinstance(v, list) and v:
@@ -140,6 +152,9 @@ def _run_one(args, model_name: str) -> None:
     float(np.asarray(out[3]).sum())
 
     # timed epochs
+    if args.profile:
+        os.makedirs(args.profile, exist_ok=True)
+        jax.profiler.start_trace(args.profile)
     t0 = time.time()
     for _ in range(args.epochs):
         key, ke = jax.random.split(key)
@@ -150,6 +165,8 @@ def _run_one(args, model_name: str) -> None:
         trainer.params, trainer.opt_state, trainer.net_state = out[0], out[1], out[2]
         float(np.asarray(out[3]).sum())  # force completion of this epoch
     dt = time.time() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
     n_train = data.n_train
     train_eps = n_train * args.epochs / dt
 

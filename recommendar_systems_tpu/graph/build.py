@@ -24,8 +24,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from recommendar_systems_tpu.graph.sparse import (
-    COO, DenseBip, DenseMat, dense_asarray, dense_ok,
+    COO, DenseBip, DenseMat, dense_asarray, dense_ok, fused_bip_enabled,
 )
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 def _dense_block(
@@ -61,6 +65,14 @@ def build_norm_adj(
     inv_i = np.power(di + 1e-7, -0.5)
     vals_ui = (inv_u[u] * inv_i[i]).astype(np.float32)
     if dense or (dense is None and dense_ok(n_users, n_items)):
+        if fused_bip_enabled():
+            # tile-padded storage for the fused one-pass propagation kernel
+            # (ops/fused_bip.py); zero rows/cols are numerically inert
+            up, ip = _pad_to(n_users, 256), _pad_to(n_items, 128)
+            return DenseBip(
+                dense_asarray(_dense_block(u, i, vals_ui, up, ip)),
+                dims=(n_users, n_items),
+            )
         return DenseBip(dense_asarray(_dense_block(u, i, vals_ui, n_users, n_items)))
 
     rows = np.concatenate([u, i + n_users])

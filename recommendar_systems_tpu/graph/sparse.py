@@ -211,15 +211,21 @@ class DenseBip:
     (symmetric normalization) and the diagonal defaults to zero.  SpMM is
     two block matmuls — the transpose fuses into the dot_general, so the
     symmetric case stores only [U, I].
+
+    ``dims`` carries the LOGICAL (U, I) when ``ur`` is stored tile-padded
+    for the fused Pallas propagation kernel (ops/fused_bip.py); zero rows /
+    columns contribute nothing, so padded and unpadded storage are
+    numerically identical.
     """
 
-    ur: jnp.ndarray                 # [U, I]
+    ur: jnp.ndarray                 # [U, I] (possibly padded)
     iu: jnp.ndarray | None = None   # [I, U]; None -> ur.T
     diag: jnp.ndarray | None = None  # [U+I] self-loop weights; None -> 0
+    dims: tuple | None = None        # logical (U, I); None -> physical shape
 
     def tree_flatten(self):
         children = [self.ur]
-        aux = [self.iu is not None, self.diag is not None]
+        aux = [self.iu is not None, self.diag is not None, self.dims]
         if self.iu is not None:
             children.append(self.iu)
         if self.diag is not None:
@@ -228,21 +234,23 @@ class DenseBip:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        has_iu, has_diag = aux
+        has_iu, has_diag = aux[0], aux[1]
+        dims = aux[2] if len(aux) > 2 else None
         it = iter(children[1:])
         return cls(
             children[0],
             next(it) if has_iu else None,
             next(it) if has_diag else None,
+            dims,
         )
 
     @property
     def n_users(self) -> int:
-        return int(self.ur.shape[0])
+        return self.dims[0] if self.dims else int(self.ur.shape[0])
 
     @property
     def n_items(self) -> int:
-        return int(self.ur.shape[1])
+        return self.dims[1] if self.dims else int(self.ur.shape[1])
 
     @property
     def n_rows(self) -> int:
@@ -255,12 +263,81 @@ def spmm_densemat(adj: DenseMat, x: jnp.ndarray) -> jnp.ndarray:
     return _mm(adj.mat, x, x.dtype)
 
 
+# Fused bidirectional propagation (ops/fused_bip.py): one HBM pass over the
+# symmetric dense block for BOTH A@xi and A.T@xu.  Enabled per-process (the
+# builders then store tile-padded blocks); the Pallas kernel only runs on
+# TPU — on CPU padded blocks take the plain-matmul path (numerically equal).
+_FUSED_BIP = False
+
+
+def set_fused_bip(enabled: bool) -> None:
+    """Must be called before graphs are built (padding happens at build)."""
+    global _FUSED_BIP
+    _FUSED_BIP = bool(enabled)
+
+
+def fused_bip_enabled() -> bool:
+    return _FUSED_BIP
+
+
+def _use_fused_kernel(adj: DenseBip, d: int) -> bool:
+    if adj.iu is not None or adj.dims is None:
+        return False
+    if jax.default_backend() == "cpu":
+        return False  # interpret mode: correct but slow; XLA path is exact
+    from recommendar_systems_tpu.ops.fused_bip import fits_vmem
+
+    return fits_vmem(int(adj.ur.shape[1]), d)
+
+
+def pad_nodes(adj, x: jnp.ndarray) -> jnp.ndarray:
+    """Pad a [U+I, d] node stack into the padded storage space of a
+    ``DenseBip`` (no-op otherwise).  Zero rows are inert under propagation,
+    so whole layer loops can run in padded space and un-pad once at the end
+    (see ``models/layers.py::lightgcn_propagate``)."""
+    if isinstance(adj, DenseBip) and adj.dims is not None:
+        u, i = adj.dims
+        up, ip = int(adj.ur.shape[0]), int(adj.ur.shape[1])
+        if (up, ip) != (u, i):
+            xu = jnp.pad(x[:u], ((0, up - u), (0, 0)))
+            xi = jnp.pad(x[u:], ((0, ip - i), (0, 0)))
+            return jnp.concatenate([xu, xi], axis=0)
+    return x
+
+
+def unpad_nodes(adj, x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``pad_nodes``."""
+    if isinstance(adj, DenseBip) and adj.dims is not None:
+        u, i = adj.dims
+        up, ip = int(adj.ur.shape[0]), int(adj.ur.shape[1])
+        if (up, ip) != (u, i):
+            return jnp.concatenate([x[:u], x[up : up + i]], axis=0)
+    return x
+
+
 def spmm_densebip(adj: DenseBip, x: jnp.ndarray) -> jnp.ndarray:
-    u = adj.n_users
-    xu, xi = x[:u], x[u:]
-    top = _mm(adj.ur, xi, x.dtype)
-    bot = _mm(adj.iu if adj.iu is not None else adj.ur.T, xu, x.dtype)
-    out = jnp.concatenate([top, bot], axis=0)
+    up, ip = int(adj.ur.shape[0]), int(adj.ur.shape[1])
+    padded_in = (
+        adj.dims is not None
+        and x.shape[0] == up + ip
+        and (up, ip) != adj.dims
+    )
+    if padded_in:
+        u, i = up, ip  # stay in padded space; caller un-pads at the end
+        xu, xi = x[:up], x[up:]
+    else:
+        u, i = adj.n_users, adj.n_items
+        xu = jnp.pad(x[:u], ((0, up - u), (0, 0))) if up != u else x[:u]
+        xi = jnp.pad(x[u:], ((0, ip - i), (0, 0))) if ip != i else x[u:]
+    if _use_fused_kernel(adj, int(x.shape[1])):
+        from recommendar_systems_tpu.ops.fused_bip import fused_bip_matmul
+
+        top, bot = fused_bip_matmul(adj.ur, xu, xi)
+        top, bot = top.astype(x.dtype), bot.astype(x.dtype)
+    else:
+        top = _mm(adj.ur, xi, x.dtype)
+        bot = _mm(adj.iu if adj.iu is not None else adj.ur.T, xu, x.dtype)
+    out = jnp.concatenate([top[:u], bot[:i]], axis=0)
     if adj.diag is not None:
         out = out + adj.diag[:, None] * x
     return out

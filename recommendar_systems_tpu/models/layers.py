@@ -45,13 +45,19 @@ def lightgcn_propagate(
         mean_layers: True => mean over [ego, h1..hK] (LightGCN); False => sum.
         include_ego: include the 0-th (ego) layer in the pooling.
     """
-    layers: List[jnp.ndarray] = [ego] if include_ego else []
-    h = ego
+    from recommendar_systems_tpu.graph.sparse import pad_nodes, unpad_nodes
+
+    # padded DenseBip blocks propagate in padded space (zero rows are inert):
+    # one pad before the loop, one un-pad after, instead of per layer
+    ego_p = pad_nodes(adj, ego)
+    layers: List[jnp.ndarray] = [ego_p] if include_ego else []
+    h = ego_p
     for _ in range(n_layers):
         h = spmm(adj, h)
         layers.append(h)
     stack = jnp.stack(layers, axis=1)
-    return stack.mean(axis=1) if mean_layers else stack.sum(axis=1)
+    out = stack.mean(axis=1) if mean_layers else stack.sum(axis=1)
+    return unpad_nodes(adj, out)
 
 
 def propagate_layers(adj, ego: jnp.ndarray, n_layers: int) -> List[jnp.ndarray]:

@@ -68,6 +68,7 @@ class SELFCFED_LGN(RecModel):
                 adj = DenseBip(
                     ur=jnp.where(ku, adj.ur * scale, 0.0),
                     iu=jnp.where(ki, adj.ur.T * scale, 0.0),
+                    dims=adj.dims,  # preserve logical (U, I) of padded blocks
                 )
             else:
                 keep = (

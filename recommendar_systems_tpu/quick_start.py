@@ -55,6 +55,18 @@ def quick_start(
 
         set_dense_dtype(jnp.bfloat16)
 
+    # fused one-pass bidirectional propagation kernel (ops/fused_bip.py):
+    # pad dense symmetric blocks at build time.  Off when tables are
+    # row-sharded (padded dims no longer match the node counts the sharder
+    # keys on).
+    fused = config.get("fused_bip")
+    fused = True if fused is None else bool(fused)
+    if config.get("shard_embedding_tables"):
+        fused = False
+    from recommendar_systems_tpu.graph.sparse import set_fused_bip
+
+    set_fused_bip(fused)
+
     # synthetic datasets are generated on first use (the reference ships no
     # data at all; see data/README.md there)
     if config.get("synthetic"):

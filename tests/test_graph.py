@@ -136,3 +136,69 @@ def test_dense_knn_matches_ell():
     np.testing.assert_allclose(
         np.asarray(spmm(dns, x)), np.asarray(spmm(ell, x)), atol=1e-5
     )
+
+
+def test_padded_densebip_matches_unpadded():
+    """fused_bip padding: padded storage + XLA path is numerically exact."""
+    from recommendar_systems_tpu.graph.build import build_norm_adj
+    from recommendar_systems_tpu.graph.sparse import set_fused_bip, spmm
+
+    rng = np.random.default_rng(11)
+    n_users, n_items = 70, 45
+    u = rng.integers(0, n_users, 400)
+    i = rng.integers(0, n_items, 400)
+    x = jnp.asarray(rng.normal(size=(n_users + n_items, 16)).astype(np.float32))
+    plain = build_norm_adj(u, i, n_users, n_items, dense=True)
+    try:
+        set_fused_bip(True)
+        padded = build_norm_adj(u, i, n_users, n_items, dense=True)
+    finally:
+        set_fused_bip(False)
+    assert padded.dims == (n_users, n_items)
+    assert padded.ur.shape[0] % 256 == 0 and padded.ur.shape[1] % 128 == 0
+    np.testing.assert_allclose(
+        np.asarray(spmm(padded, x)), np.asarray(spmm(plain, x)), atol=1e-5
+    )
+
+
+def test_fused_bip_kernel_interpret_matches_xla():
+    """The Pallas kernel (interpret mode on CPU) == two plain matmuls."""
+    import jax
+
+    from recommendar_systems_tpu.ops.fused_bip import fused_bip_matmul
+
+    rng = np.random.default_rng(12)
+    U, I, d = 512, 256, 64
+    a = jnp.asarray(rng.normal(size=(U, I)).astype(np.float32))
+    xu = jnp.asarray(rng.normal(size=(U, d)).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=(I, d)).astype(np.float32))
+    top, bot = jax.jit(fused_bip_matmul)(a, xu, xi)
+    # oracle with the same bf16-operand / f32-accumulate semantics the
+    # kernel uses (mirroring XLA's default TPU matmul precision)
+    ab = a.astype(jnp.bfloat16)
+    oracle_top = jnp.matmul(ab, xi.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+    oracle_bot = jnp.matmul(ab.T, xu.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(top), np.asarray(oracle_top),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bot), np.asarray(oracle_bot),
+                               rtol=1e-6, atol=1e-5)
+    # and against the f32 product at bf16-rounding tolerance
+    np.testing.assert_allclose(np.asarray(top), np.asarray(a @ xi),
+                               rtol=2e-2, atol=0.3)
+
+    # custom VJP: gradients flow to xu/xi and match the plain-matmul grads
+    def loss_fused(xu, xi):
+        t, b = fused_bip_matmul(a, xu, xi)
+        return jnp.sum(t**2) + jnp.sum(b**2)
+
+    def loss_plain(xu, xi):
+        return jnp.sum((a @ xi) ** 2) + jnp.sum((a.T @ xu) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(xu, xi)
+    gp = jax.grad(loss_plain, argnums=(0, 1))(xu, xi)
+    for f, p in zip(gf, gp):
+        f, p = np.asarray(f), np.asarray(p)
+        scale = np.abs(p).max() + 1e-9
+        assert np.abs(f - p).max() / scale < 2e-2  # bf16-operand rounding

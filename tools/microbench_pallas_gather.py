@@ -8,6 +8,14 @@ kernel with N outstanding row DMAs gets closer to the random-access HBM
 bound, which would justify a Pallas SpMM backend for large catalogs.
 
 Run on the real TPU:  python tools/microbench_pallas_gather.py
+
+MEASURED VERDICT (TPU v5e, 2026-08-18): single-row (512 B) DMAs issued from
+a fori_loop are latency-serialized by Mosaic — 0.2 GB/s vs XLA gather's
+8-40 GB/s (batch-size dependent).  Hand-rolled per-row DMA pipelining loses
+to XLA's native gather here; the dense-matmul path (graph/sparse.py) remains
+the TPU answer where storage fits, and XLA gather/segment_sum is kept for
+the large-catalog fallback.  At 2M+ edges the axon remote-compile helper
+also 500s on the big unrolled kernel.
 """
 
 from __future__ import annotations
