@@ -650,8 +650,11 @@ class Trainer:
                     bundle.mask_rows[b],
                     bundle.mask_items[b],
                 )
-            chunks.append(np.asarray(topk)[: bundle.n_valid[b]])
-        topk_all = np.concatenate(chunks, axis=0)
+            chunks.append(topk)  # async dispatch; host-sync once below
+        topk_all = np.concatenate(
+            [np.asarray(t)[: bundle.n_valid[b]] for b, t in enumerate(chunks)],
+            axis=0,
+        )
         eval_users = np.concatenate(
             [np.asarray(bundle.users[b])[: bundle.n_valid[b]] for b in range(bundle.n_batches)]
         )
