@@ -170,22 +170,29 @@ def _run_one(args, model_name: str) -> None:
     n_train = data.n_train
     train_eps = n_train * args.epochs / dt
 
-    # eval throughput (full-catalog scoring, users/s) — warm then timed
+    # eval throughput (full-catalog scoring, users/s) — warm then timed;
+    # whole pass is one scanned dispatch (see Trainer._eval_scan_impl)
     ev = data.valid_eval
-    _ = trainer._eval_batch_jit(
-        trainer.params, trainer.net_state, trainer.ctx,
-        ev.users[0], ev.mask_rows[0], ev.mask_items[0],
-    )
-    _ = np.asarray(_)
-    t1 = time.time()
-    total_users = 0
-    for b in range(ev.n_batches):
-        r = trainer._eval_batch_jit(
+    use_cached = getattr(type(model), "has_eval_embeddings", False)
+
+    def eval_pass():
+        if use_cached:
+            ue, ie = trainer._eval_embeddings_jit(
+                trainer.params, trainer.net_state, trainer.ctx
+            )
+            return trainer._eval_scan_emb_jit(
+                ue, ie, ev.users, ev.mask_rows, ev.mask_items
+            )
+        return trainer._eval_scan_jit(
             trainer.params, trainer.net_state, trainer.ctx,
-            ev.users[b], ev.mask_rows[b], ev.mask_items[b],
+            ev.users, ev.mask_rows, ev.mask_items,
         )
-        total_users += int(ev.n_valid[b])
+
+    np.asarray(eval_pass())  # compile + warm
+    t1 = time.time()
+    r = eval_pass()
     np.asarray(r)
+    total_users = int(ev.n_valid.sum())
     eval_ups = total_users / (time.time() - t1)
 
     baseline = None

@@ -148,6 +148,8 @@ class Trainer:
         self._eval_batch_jit = jax.jit(self._eval_batch_impl)
         self._eval_embeddings_jit = jax.jit(self._eval_embeddings_impl)
         self._eval_from_emb_jit = jax.jit(self._eval_from_emb_impl)
+        self._eval_scan_jit = jax.jit(self._eval_scan_impl)
+        self._eval_scan_emb_jit = jax.jit(self._eval_scan_emb_impl)
         self._pre_epoch_jit = None
         if getattr(type(model), "has_pre_epoch", False):
             cfg_snapshot = dict(config.final_config) if hasattr(config, "final_config") else dict(config)
@@ -435,6 +437,24 @@ class Trainer:
         scores = ue[users] @ ie.T
         return self._mask_and_topk(scores, mask_rows, mask_items)
 
+    # whole-pass scanned eval: ONE dispatch per evaluation instead of one
+    # per user batch (each dispatch costs ~10 ms over the axon tunnel)
+    def _eval_scan_impl(self, params, net_state, ctx, users, mask_rows, mask_items):
+        def body(carry, xs):
+            u, mr, mi = xs
+            return carry, self._eval_batch_impl(params, net_state, ctx, u, mr, mi)
+
+        _, topk = jax.lax.scan(body, 0, (users, mask_rows, mask_items))
+        return topk
+
+    def _eval_scan_emb_impl(self, ue, ie, users, mask_rows, mask_items):
+        def body(carry, xs):
+            u, mr, mi = xs
+            return carry, self._mask_and_topk(ue[u] @ ie.T, mr, mi)
+
+        _, topk = jax.lax.scan(body, 0, (users, mask_rows, mask_items))
+        return topk
+
     # ----------------------------------------------------------------- train
     def fit(
         self,
@@ -629,30 +649,22 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, bundle: EvalBundle, is_test: bool = False, idx: int = 0) -> Dict[str, float]:
-        chunks = []
         use_cached_emb = getattr(type(self.model), "has_eval_embeddings", False)
         if use_cached_emb:
             # one full-graph propagation per evaluation pass, reused by every
             # user batch (the reference recomputes it per batch)
             ue, ie = self._eval_embeddings_jit(self.params, self.net_state, self.ctx)
-        for b in range(bundle.n_batches):
-            if use_cached_emb:
-                topk = self._eval_from_emb_jit(
-                    ue, ie, bundle.users[b],
-                    bundle.mask_rows[b], bundle.mask_items[b],
-                )
-            else:
-                topk = self._eval_batch_jit(
-                    self.params,
-                    self.net_state,
-                    self.ctx,
-                    bundle.users[b],
-                    bundle.mask_rows[b],
-                    bundle.mask_items[b],
-                )
-            chunks.append(topk)  # async dispatch; host-sync once below
+            topk = self._eval_scan_emb_jit(
+                ue, ie, bundle.users, bundle.mask_rows, bundle.mask_items
+            )
+        else:
+            topk = self._eval_scan_jit(
+                self.params, self.net_state, self.ctx,
+                bundle.users, bundle.mask_rows, bundle.mask_items,
+            )
+        topk_np = np.asarray(topk)  # [n_batches, B, k]; one host sync
         topk_all = np.concatenate(
-            [np.asarray(t)[: bundle.n_valid[b]] for b, t in enumerate(chunks)],
+            [topk_np[b, : bundle.n_valid[b]] for b in range(bundle.n_batches)],
             axis=0,
         )
         eval_users = np.concatenate(
