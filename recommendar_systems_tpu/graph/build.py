@@ -50,13 +50,20 @@ def _degrees(u: np.ndarray, i: np.ndarray, n_users: int, n_items: int):
 
 def build_norm_adj(
     u: np.ndarray, i: np.ndarray, n_users: int, n_items: int,
-    dense: bool | None = None,
+    dense: bool | None = None, factored: bool | None = None,
 ):
     """Symmetric-normalized (U+I)x(U+I) bipartite adjacency.
 
     Returns a ``DenseBip`` (MXU matmul propagation) when the dense [U, I]
     block fits the densify threshold, else row-sorted COO.  ``dense=False``
     forces COO for callers that need edge-slot access (per-epoch dropout).
+
+    When the fused kernel is enabled (``factored`` defaults to that flag),
+    the dense block is stored FACTORED: the per-edge value
+    1/sqrt(deg_u * deg_i) separates exactly, so storage is the int8 count
+    matrix plus f32 row/col scales — half the HBM bytes of bf16, zero
+    quantization error.  ``factored=False`` keeps plain dense values for
+    callers that edit the block elementwise (SELFCF's adjacency dropout).
     """
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
@@ -69,6 +76,19 @@ def build_norm_adj(
             # tile-padded storage for the fused one-pass propagation kernel
             # (ops/fused_bip.py); zero rows/cols are numerically inert
             up, ip = _pad_to(n_users, 256), _pad_to(n_items, 128)
+            if factored is None or factored:
+                counts = _dense_block(u, i, np.ones(len(u), np.float32), up, ip)
+                assert counts.max() < 127, "int8 count overflow"
+                r = np.zeros(up, np.float32)
+                r[:n_users] = inv_u.astype(np.float32)
+                c = np.zeros(ip, np.float32)
+                c[:n_items] = inv_i.astype(np.float32)
+                return DenseBip(
+                    jnp.asarray(counts.astype(np.int8)),
+                    dims=(n_users, n_items),
+                    row_scale=jnp.asarray(r),
+                    col_scale=jnp.asarray(c),
+                )
             return DenseBip(
                 dense_asarray(_dense_block(u, i, vals_ui, up, ip)),
                 dims=(n_users, n_items),

@@ -216,32 +216,48 @@ class DenseBip:
     for the fused Pallas propagation kernel (ops/fused_bip.py); zero rows /
     columns contribute nothing, so padded and unpadded storage are
     numerically identical.
+
+    FACTORED storage: the symmetric normalization 1/sqrt(deg_u * deg_i)
+    (reference `lightgcn.py:96-100`) separates EXACTLY per edge, so
+    ``A = diag(row_scale) @ M @ diag(col_scale)`` where ``M`` is the int8
+    interaction COUNT matrix — half the HBM bytes of bf16 with zero
+    quantization error.  When ``row_scale``/``col_scale`` are set, ``ur``
+    holds M (int8) and SpMM composes the scales around the matmul.
     """
 
-    ur: jnp.ndarray                 # [U, I] (possibly padded)
+    ur: jnp.ndarray                 # [U, I] (possibly padded; int8 M if factored)
     iu: jnp.ndarray | None = None   # [I, U]; None -> ur.T
     diag: jnp.ndarray | None = None  # [U+I] self-loop weights; None -> 0
     dims: tuple | None = None        # logical (U, I); None -> physical shape
+    row_scale: jnp.ndarray | None = None  # [U] f32 (padded length)
+    col_scale: jnp.ndarray | None = None  # [I] f32 (padded length)
 
     def tree_flatten(self):
         children = [self.ur]
-        aux = [self.iu is not None, self.diag is not None, self.dims]
+        aux = [self.iu is not None, self.diag is not None, self.dims,
+               self.row_scale is not None]
         if self.iu is not None:
             children.append(self.iu)
         if self.diag is not None:
             children.append(self.diag)
+        if self.row_scale is not None:
+            children.append(self.row_scale)
+            children.append(self.col_scale)
         return tuple(children), tuple(aux)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         has_iu, has_diag = aux[0], aux[1]
         dims = aux[2] if len(aux) > 2 else None
+        has_scales = aux[3] if len(aux) > 3 else False
         it = iter(children[1:])
         return cls(
             children[0],
             next(it) if has_iu else None,
             next(it) if has_diag else None,
             dims,
+            next(it) if has_scales else None,
+            next(it) if has_scales else None,
         )
 
     @property
@@ -329,14 +345,24 @@ def spmm_densebip(adj: DenseBip, x: jnp.ndarray) -> jnp.ndarray:
         u, i = adj.n_users, adj.n_items
         xu = jnp.pad(x[:u], ((0, up - u), (0, 0))) if up != u else x[:u]
         xi = jnp.pad(x[u:], ((0, ip - i), (0, 0))) if ip != i else x[u:]
+    if adj.row_scale is not None:
+        # factored A = diag(r) M diag(c): scale, propagate counts, scale
+        xu = xu * adj.row_scale[:, None]
+        xi = xi * adj.col_scale[:, None]
     if _use_fused_kernel(adj, int(x.shape[1])):
         from recommendar_systems_tpu.ops.fused_bip import fused_bip_matmul
 
         top, bot = fused_bip_matmul(adj.ur, xu, xi)
-        top, bot = top.astype(x.dtype), bot.astype(x.dtype)
     else:
-        top = _mm(adj.ur, xi, x.dtype)
-        bot = _mm(adj.iu if adj.iu is not None else adj.ur.T, xu, x.dtype)
+        m = adj.ur
+        if m.dtype == jnp.int8:
+            m = m.astype(jnp.float32)  # hoisted out of scanned epochs by XLA
+        top = _mm(m, xi, x.dtype)
+        bot = _mm(adj.iu if adj.iu is not None else m.T, xu, x.dtype)
+    if adj.row_scale is not None:
+        top = top * adj.row_scale[:, None]
+        bot = bot * adj.col_scale[:, None]
+    top, bot = top.astype(x.dtype), bot.astype(x.dtype)
     out = jnp.concatenate([top[:u], bot[:i]], axis=0)
     if adj.diag is not None:
         out = out + adj.diag[:, None] * x

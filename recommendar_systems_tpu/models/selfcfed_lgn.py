@@ -135,8 +135,11 @@ class SELFCFED_LGN(RecModel):
     @classmethod
     def build_ctx(cls, config, data):
         return {
+            # factored=False: encode() edits the dense block elementwise for
+            # per-forward adjacency dropout, which needs plain edge values
             "norm_adj": build_norm_adj(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items
+                data.train_users_np, data.train_items_np, data.n_users,
+                data.n_items, factored=False,
             )
         }
 

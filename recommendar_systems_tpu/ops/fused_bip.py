@@ -49,7 +49,10 @@ def _kernel(a_ref, xu_ref, xi_any, top_ref, bot_any, xi_vmem, bot_acc, sems):
         cp.start()
         cp.wait()
 
-    a = a_ref[:]  # [BU, I] bf16
+    # [BU, I]; int8 count tiles (factored adjacency) convert to bf16 on the
+    # VPU — the whole point of int8 storage is halved HBM traffic, so the
+    # cast must happen per-tile in VMEM, not hoisted to a full HBM copy
+    a = a_ref[:].astype(jnp.bfloat16)
     # users <- items: straight matmul into this row tile of `top`
     top_ref[:] = jnp.dot(a, xi_vmem[:], preferred_element_type=jnp.float32)
 
@@ -119,11 +122,13 @@ def _vmem_fixed(I: int, d: int) -> int:
     return I * d * 2 + I * d * 4
 
 
-def _pick_block_u(U: int, I: int, d: int) -> int:
+def _pick_block_u(U: int, I: int, d: int, a_itemsize: int = 2) -> int:
     """Largest row tile that keeps the worst-case buffered footprint (A tile
-    bf16 + xu/top tiles, each up to 3x-buffered) under the budget."""
+    + xu/top tiles, each up to 3x-buffered, + one bf16 convert temp for int8
+    tiles) under the budget."""
     budget = _VMEM_BUDGET - _vmem_fixed(I, d)
-    per_row = I * 2 * 3 + d * 2 * 3 + d * 4 * 3  # A + xu (bf16) + top (f32)
+    a_row = I * a_itemsize * 3 + (I * 2 if a_itemsize == 1 else 0)
+    per_row = a_row + d * 2 * 3 + d * 4 * 3  # + xu (bf16) + top (f32)
     bu = budget // max(per_row, 1)
     for cand in (512, 256, 128, 64, 32, 16, 8):
         if bu >= cand and U % cand == 0:
@@ -144,11 +149,14 @@ def _fused_bip_impl(a, xu, xi):
     d = xu.shape[1]
     interpret = jax.default_backend() == "cpu"
     # bf16 operands mirror XLA's DEFAULT matmul precision on TPU (f32 matmul
-    # operands are rounded to bf16 on the MXU anyway); accumulation is f32
-    a = a.astype(jnp.bfloat16)
+    # operands are rounded to bf16 on the MXU anyway); accumulation is f32.
+    # int8 count matrices (factored adjacency) stay int8 in HBM and convert
+    # per tile inside the kernel.
+    if a.dtype != jnp.int8:
+        a = a.astype(jnp.bfloat16)
     xu = xu.astype(jnp.bfloat16)
     xi = xi.astype(jnp.bfloat16)
-    block_u = _pick_block_u(U, I, d)
+    block_u = _pick_block_u(U, I, d, a.dtype.itemsize)
     top, bot = _fused_fwd_call(a, xu, xi, block_u, interpret)
     return top, bot
 

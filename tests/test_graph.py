@@ -202,3 +202,28 @@ def test_fused_bip_kernel_interpret_matches_xla():
         f, p = np.asarray(f), np.asarray(p)
         scale = np.abs(p).max() + 1e-9
         assert np.abs(f - p).max() / scale < 2e-2  # bf16-operand rounding
+
+
+def test_factored_densebip_matches_plain():
+    """int8-count factored storage == plain dense values (exact separation
+    of the 1/sqrt(deg_u*deg_i) normalization)."""
+    from recommendar_systems_tpu.graph.build import build_norm_adj
+    from recommendar_systems_tpu.graph.sparse import set_fused_bip, spmm
+
+    rng = np.random.default_rng(13)
+    n_users, n_items = 90, 50
+    u = rng.integers(0, n_users, 600)
+    i = rng.integers(0, n_items, 600)
+    x = jnp.asarray(rng.normal(size=(n_users + n_items, 8)).astype(np.float32))
+    plain = build_norm_adj(u, i, n_users, n_items, dense=True)
+    try:
+        set_fused_bip(True)
+        fact = build_norm_adj(u, i, n_users, n_items, dense=True)
+        nofact = build_norm_adj(u, i, n_users, n_items, dense=True,
+                                factored=False)
+    finally:
+        set_fused_bip(False)
+    assert fact.ur.dtype == jnp.int8 and fact.row_scale is not None
+    ref = np.asarray(spmm(plain, x))
+    np.testing.assert_allclose(np.asarray(spmm(fact, x)), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(spmm(nofact, x)), ref, atol=1e-5)
