@@ -66,19 +66,34 @@ class GRCN(RecModel):
     def _masked_softmax(scores, mask):
         """Row softmax over masked entries; empty rows -> all-zero rows
         (parity with segment softmax over empty segments).  ``mask`` holds
-        edge multiplicities, weighting numerator and denominator alike."""
+        edge multiplicities, weighting numerator and denominator alike.
+
+        Keeps the [U, I] intermediates in the ``scores`` dtype (bf16 on TPU
+        — these full-matrix elementwise passes are the HBM-bound hot path of
+        dense GRCN); the denominator reduction accumulates in f32."""
         neg = jnp.finfo(scores.dtype).min
+        mask = mask.astype(scores.dtype)
         sm = jnp.where(mask > 0, scores, neg)
         mx = jnp.max(sm, axis=1, keepdims=True)
-        mx = jnp.where(mx > neg / 2, mx, 0.0)
+        mx = jnp.where(mx > neg / 2, mx, jnp.zeros_like(mx))
         e = mask * jnp.exp(sm - mx)
-        d = e.sum(axis=1, keepdims=True)
-        return e / jnp.maximum(d, 1e-16)
+        d = jnp.sum(e, axis=1, keepdims=True, dtype=jnp.float32)
+        return (e / jnp.maximum(d, 1e-16)).astype(scores.dtype)
+
+    @staticmethod
+    def _dense_dtype():
+        # bf16 [U, I] intermediates on TPU (half the HBM traffic; matmul
+        # operands are bf16-rounded by XLA's default precision anyway);
+        # f32 on CPU where the tests run
+        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
     def _gat_dense(self, x_dst, x_src, mask):
         """(P @ x_src, P) where P = masked row softmax of x_dst @ x_src^T."""
-        p = self._masked_softmax(x_dst @ x_src.T, mask)
-        return p @ x_src, p
+        dt = self._dense_dtype()
+        s = jnp.matmul(x_dst, x_src.T, preferred_element_type=dt)
+        p = self._masked_softmax(s, mask)
+        out = jnp.matmul(p, x_src.astype(dt), preferred_element_type=jnp.float32)
+        return out, p
 
     def _gat(self, x, src, dst, sorted_dst=False):
         """Dot-attention conv (`grcn.py:46-76`): returns (out, alpha)."""
@@ -145,28 +160,44 @@ class GRCN(RecModel):
             x = l2_normalize(x)
 
         if ctx.get("mask_ui") is not None:
-            # dense EGCN: combine per-modality attention blocks, weighted
-            # SAGE = two block matmuls per hop
-            pu = jnp.stack([wgt[0] for wgt in weights], axis=-1)  # [U, I, M]
-            pi = jnp.stack([wgt[1] for wgt in weights], axis=-1)  # [I, U, M]
+            # dense EGCN: combine per-modality attention blocks pairwise
+            # (no [U, I, M] stack materialization), weighted SAGE = two
+            # block matmuls per hop; all [U, I] temps stay in bf16 on TPU
+            import functools
+
+            dt = self._dense_dtype()
             if self.weight_mode == "mean":
-                w_ui, w_iu = pu.mean(-1), pi.mean(-1)
+                w_ui = sum(w[0] for w in weights) / len(weights)
+                w_iu = sum(w[1] for w in weights) / len(weights)
             elif self.weight_mode == "max":
-                w_ui, w_iu = pu.max(-1), pi.max(-1)
+                w_ui = functools.reduce(jnp.maximum, (w[0] for w in weights))
+                w_iu = functools.reduce(jnp.maximum, (w[1] for w in weights))
             else:  # confid: confidence of the SOURCE node per modality
-                conf_u = self.model_specific_conf[: self.n_users]   # [U, M]
-                conf_i = self.model_specific_conf[self.n_users :]   # [I, M]
-                w_ui = (pu * conf_i[None, :, :]).max(-1)
-                w_iu = (pi * conf_u[None, :, :]).max(-1)
+                conf_u = self.model_specific_conf[: self.n_users].astype(dt)
+                conf_i = self.model_specific_conf[self.n_users :].astype(dt)
+                w_ui = functools.reduce(
+                    jnp.maximum,
+                    (w[0] * conf_i[None, :, m] for m, w in enumerate(weights)),
+                )
+                w_iu = functools.reduce(
+                    jnp.maximum,
+                    (w[1] * conf_u[None, :, m] for m, w in enumerate(weights)),
+                )
             w_ui = jax.nn.relu(w_ui)
             w_iu = jax.nn.relu(w_iu)
-            xu, xi = x[: self.n_users], x[self.n_users :]
-            h1u, h1i = w_ui @ xi, w_iu @ xu
+            xu, xi = x[: self.n_users].astype(dt), x[self.n_users :].astype(dt)
+            f32 = jnp.float32
+            h1u = jnp.matmul(w_ui, xi, preferred_element_type=f32)
+            h1i = jnp.matmul(w_iu, xu, preferred_element_type=f32)
             h1 = jnp.concatenate([h1u, h1i], axis=0)
             if self.has_act:
                 h1 = nn.leaky_relu(h1, negative_slope=0.01)
                 h1u, h1i = h1[: self.n_users], h1[self.n_users :]
-            h2 = jnp.concatenate([w_ui @ h1i, w_iu @ h1u], axis=0)
+            h2 = jnp.concatenate(
+                [jnp.matmul(w_ui, h1i.astype(dt), preferred_element_type=f32),
+                 jnp.matmul(w_iu, h1u.astype(dt), preferred_element_type=f32)],
+                axis=0,
+            )
             if self.has_act:
                 h2 = nn.leaky_relu(h2, negative_slope=0.01)
             id_rep = x + h1 + h2
@@ -277,7 +308,9 @@ class GRCN(RecModel):
                  data.train_items_np.astype(np.int64)),
                 1.0,
             )
-            ctx["mask_ui"] = jnp.asarray(m)  # edge multiplicity counts
+            # edge multiplicity counts; bf16 storage is exact for small
+            # counts and halves the HBM read of every masked softmax
+            ctx["mask_ui"] = jnp.asarray(m, dtype=jnp.bfloat16)
         if data.v_feat is not None:
             ctx["v_feat"] = data.v_feat
         if data.t_feat is not None:
