@@ -123,8 +123,10 @@ def _run_one(args, model_name: str) -> None:
         set_dense_dtype(jnp.bfloat16)
         cfg["compute_dtype"] = "bfloat16"
     from recommendar_systems_tpu.graph.sparse import set_fused_bip
+    from recommendar_systems_tpu.ops.masked_attn import set_fused_attn
 
     set_fused_bip(not args.no_fused)
+    set_fused_attn(not args.no_fused)
     for ax in cfg["hyper_parameters"]:
         v = cfg[ax]
         if isinstance(v, list) and v:

@@ -29,6 +29,7 @@ from flax import linen as nn
 from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, l2_normalize, xavier_normal
 from recommendar_systems_tpu.models.losses import _wmean
+from recommendar_systems_tpu.ops.masked_attn import masked_attention
 from recommendar_systems_tpu.ops.seg import scatter_weighted_sum, segment_softmax
 
 
@@ -111,9 +112,24 @@ class GRCN(RecModel):
             features = l2_normalize(features)
         mask = ctx.get("mask_ui")
         if mask is not None:
-            # dense routing: users attend over their interacted items
+            padded = ctx.get("dims_pad") is not None
+            if padded:
+                # fused-kernel layout: operate in tile-padded (Up, Ip) space
+                # end to end; zero mask rows/cols make padding inert
+                up, ip = mask.shape
+                pref = jnp.pad(pref, ((0, up - pref.shape[0]), (0, 0)))
+                features = jnp.pad(
+                    features, ((0, ip - features.shape[0]), (0, 0))
+                )
+            # dense routing: users attend over their interacted items; the
+            # routing iterations discard the attention matrix, so the fused
+            # Pallas kernel (ops/masked_attn.py) runs them with ONE HBM pass
+            # over the mask and no [U, I] materialization
             for _ in range(self.num_routing):
-                upd, _ = self._gat_dense(pref, features, mask)
+                if padded:
+                    upd = masked_attention(pref, features, mask)
+                else:
+                    upd, _ = self._gat_dense(pref, features, mask)
                 pref = pref + upd
                 if self.has_norm:
                     pref = l2_normalize(pref)
@@ -123,7 +139,7 @@ class GRCN(RecModel):
             out = jnp.concatenate([out_u, out_i], axis=0)
             if self.has_act:
                 out = nn.leaky_relu(out, negative_slope=0.01)
-            return x + out, (p_u, p_i), pref
+            return x + out, (p_u, p_i), pref[: self.n_users]
         # routing: items -> users over reversed single-direction edges
         src_i, dst_u = ctx["edge_i_node"], ctx["edge_u"]
         for _ in range(self.num_routing):
@@ -139,6 +155,15 @@ class GRCN(RecModel):
             out = nn.leaky_relu(out, negative_slope=0.01)
         return x + out, alpha, pref
 
+    def _unpad_nodes(self, ctx, arr):
+        """[Up + Ip, d] padded node stack -> [U + I, d] (no-op unpadded)."""
+        if ctx.get("dims_pad") is None:
+            return arr
+        up = ctx["mask_ui"].shape[0]
+        return jnp.concatenate(
+            [arr[: self.n_users], arr[up : up + self.n_items]], axis=0
+        )
+
     def representation(self, ctx):
         weights = []
         contents = []
@@ -147,13 +172,13 @@ class GRCN(RecModel):
             v_rep, a_v, prefs["v"] = self._content_tower(
                 ctx, self.v_pref, self.v_mlp, ctx["v_feat"]
             )
-            contents.append(v_rep)
+            contents.append(self._unpad_nodes(ctx, v_rep))
             weights.append(a_v)
         if self.has_t:
             t_rep, a_t, prefs["t"] = self._content_tower(
                 ctx, self.t_pref, self.t_mlp, ctx["t_feat"]
             )
-            contents.append(t_rep)
+            contents.append(self._unpad_nodes(ctx, t_rep))
             weights.append(a_t)
         x = self.id_embedding
         if self.has_norm:
@@ -166,6 +191,20 @@ class GRCN(RecModel):
             import functools
 
             dt = self._dense_dtype()
+            padded = ctx.get("dims_pad") is not None
+            # attention blocks (and the node stacks below) live in padded
+            # (Up, Ip) space when the fused-kernel layout is active
+            n_u = ctx["mask_ui"].shape[0] if padded else self.n_users
+            n_i = ctx["mask_ui"].shape[1] if padded else self.n_items
+            conf_u = self.model_specific_conf[: self.n_users].astype(dt)
+            conf_i = self.model_specific_conf[self.n_users :].astype(dt)
+            xu = x[: self.n_users].astype(dt)
+            xi = x[self.n_users :].astype(dt)
+            if padded:
+                conf_u = jnp.pad(conf_u, ((0, n_u - self.n_users), (0, 0)))
+                conf_i = jnp.pad(conf_i, ((0, n_i - self.n_items), (0, 0)))
+                xu = jnp.pad(xu, ((0, n_u - self.n_users), (0, 0)))
+                xi = jnp.pad(xi, ((0, n_i - self.n_items), (0, 0)))
             if self.weight_mode == "mean":
                 w_ui = sum(w[0] for w in weights) / len(weights)
                 w_iu = sum(w[1] for w in weights) / len(weights)
@@ -173,8 +212,6 @@ class GRCN(RecModel):
                 w_ui = functools.reduce(jnp.maximum, (w[0] for w in weights))
                 w_iu = functools.reduce(jnp.maximum, (w[1] for w in weights))
             else:  # confid: confidence of the SOURCE node per modality
-                conf_u = self.model_specific_conf[: self.n_users].astype(dt)
-                conf_i = self.model_specific_conf[self.n_users :].astype(dt)
                 w_ui = functools.reduce(
                     jnp.maximum,
                     (w[0] * conf_i[None, :, m] for m, w in enumerate(weights)),
@@ -185,14 +222,13 @@ class GRCN(RecModel):
                 )
             w_ui = jax.nn.relu(w_ui)
             w_iu = jax.nn.relu(w_iu)
-            xu, xi = x[: self.n_users].astype(dt), x[self.n_users :].astype(dt)
             f32 = jnp.float32
             h1u = jnp.matmul(w_ui, xi, preferred_element_type=f32)
             h1i = jnp.matmul(w_iu, xu, preferred_element_type=f32)
             h1 = jnp.concatenate([h1u, h1i], axis=0)
             if self.has_act:
                 h1 = nn.leaky_relu(h1, negative_slope=0.01)
-                h1u, h1i = h1[: self.n_users], h1[self.n_users :]
+                h1u, h1i = h1[:n_u], h1[n_u:]
             h2 = jnp.concatenate(
                 [jnp.matmul(w_ui, h1i.astype(dt), preferred_element_type=f32),
                  jnp.matmul(w_iu, h1u.astype(dt), preferred_element_type=f32)],
@@ -200,7 +236,16 @@ class GRCN(RecModel):
             )
             if self.has_act:
                 h2 = nn.leaky_relu(h2, negative_slope=0.01)
-            id_rep = x + h1 + h2
+            if padded:
+                x_p = jnp.concatenate([xu, xi], axis=0).astype(x.dtype)
+                id_rep = x_p + h1 + h2
+                # back to logical (U + I) rows
+                id_rep = jnp.concatenate(
+                    [id_rep[: self.n_users], id_rep[n_u : n_u + self.n_items]],
+                    axis=0,
+                )
+            else:
+                id_rep = x + h1 + h2
         else:
             weight = jnp.stack(weights, axis=1)  # [2E, M]
 
@@ -308,6 +353,21 @@ class GRCN(RecModel):
                  data.train_items_np.astype(np.int64)),
                 1.0,
             )
+            from recommendar_systems_tpu.ops.masked_attn import (
+                fits_vmem,
+                fused_attn_enabled,
+            )
+
+            c = int(cfg_scalar(config, "latent_embedding", 64))
+            ip = -(-data.n_items // 128) * 128
+            if fused_attn_enabled() and fits_vmem(ip, c):
+                # tile-pad for the fused attention kernel; zero rows/cols
+                # are inert in every consumer (masked softmax -> zero rows)
+                up = -(-data.n_users // 256) * 256
+                mp = np.zeros((up, ip), np.float32)
+                mp[: data.n_users, : data.n_items] = m
+                m = mp
+                ctx["dims_pad"] = (data.n_users, data.n_items)
             # edge multiplicity counts; bf16 storage is exact for small
             # counts and halves the HBM read of every masked softmax
             ctx["mask_ui"] = jnp.asarray(m, dtype=jnp.bfloat16)

@@ -1,0 +1,238 @@
+"""Fused masked-softmax attention: GRCN's dense routing without [U, I]
+materialization.
+
+GRCN's dense content routing (`models/grcn.py::_gat_dense`, reference
+`/root/reference/src/models/grcn.py:46-76`) is dot-product attention of
+users over their interacted items:
+
+    s   = q @ k.T                      # [U, I] scores
+    p   = masked_softmax(s, mask)      # mask = edge multiplicity counts
+    out = p @ k                        # V == K in every GRCN use
+
+XLA materializes ``s`` and ``p`` in HBM and runs multi-pass elementwise
+softmax over them — at baby scale each [U, I] tensor is ~270 MB (bf16), and
+the op is purely HBM-bound.  Because the key side (I items, c=64) fits VMEM
+whole, a single-pass kernel needs NO online-softmax machinery: each grid
+step streams one row tile of ``mask`` from HBM, recomputes its score tile on
+the MXU, softmaxes it in VMEM, and matmuls against the resident ``k`` — the
+only [U, I]-sized HBM traffic is ONE read of ``mask`` (fwd) and one more in
+the backward pass, which recomputes ``p`` per tile instead of saving it.
+
+The multiplicity mask weights numerator and denominator alike and empty
+rows produce all-zero outputs — exact parity with
+``GRCN._masked_softmax`` / torch-geometric ``softmax`` over empty segments.
+
+Shapes must be tile-padded: U % block_u == 0, I % 128 == 0 (zero mask
+columns/rows are inert).  f32 softmax and accumulation; p is fed to the MXU
+in bf16 (same rounding XLA's default matmul precision applies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+# Enabled per-process before graphs are built (GRCN pads its dense mask at
+# build time when on).  Same lifecycle as graph.sparse.set_fused_bip.
+_ENABLED = False
+
+
+def set_fused_attn(enabled: bool) -> None:
+    """Must be called before model contexts are built."""
+    global _ENABLED
+    _ENABLED = bool(enabled)
+
+
+def fused_attn_enabled() -> bool:
+    return _ENABLED
+
+
+def _softmax_tile(s, m):
+    """Row masked-softmax of an f32 score tile with multiplicity mask m."""
+    masked = jnp.where(m > 0, s, _NEG)
+    mx = jnp.max(masked, axis=1, keepdims=True)
+    mx = jnp.where(mx > _NEG / 2, mx, 0.0)  # empty rows: exp(s-0) is finite
+    e = m * jnp.exp(masked - mx)
+    den = jnp.sum(e, axis=1, keepdims=True)
+    return e / jnp.maximum(den, 1e-16)
+
+
+def _fwd_kernel(q_ref, mask_ref, k_any, out_ref, k_vmem, sem):
+    r = pl.program_id(0)
+
+    @pl.when(r == 0)
+    def _():
+        cp = pltpu.make_async_copy(k_any, k_vmem, sem)
+        cp.start()
+        cp.wait()
+
+    k = k_vmem[:]
+    s = jax.lax.dot_general(
+        q_ref[:], k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = _softmax_tile(s, mask_ref[:].astype(jnp.float32))
+    out_ref[:] = jnp.dot(
+        p.astype(jnp.bfloat16), k, preferred_element_type=jnp.float32
+    )
+
+
+def _bwd_kernel(q_ref, mask_ref, g_ref, out_ref, k_any,
+                dq_ref, dk_any, k_vmem, dk_acc, sems):
+    r = pl.program_id(0)
+    n_r = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        cp = pltpu.make_async_copy(k_any, k_vmem, sems.at[0])
+        cp.start()
+        cp.wait()
+
+    k = k_vmem[:]
+    s = jax.lax.dot_general(
+        q_ref[:], k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = _softmax_tile(s, mask_ref[:].astype(jnp.float32))
+    g = g_ref[:].astype(jnp.bfloat16)
+    # dp_ij = g_i . k_j ; D_i = g_i . out_i ; ds = p * (dp - D)
+    dp = jax.lax.dot_general(
+        g, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    D = jnp.sum(g_ref[:] * out_ref[:], axis=1, keepdims=True)
+    ds = (p * (dp - D)).astype(jnp.bfloat16)
+    dq_ref[:] = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    # dk_j = sum_i ds_ij q_i + p_ij g_i   (accumulated across row tiles)
+    contrib = jax.lax.dot_general(
+        ds, q_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        p.astype(jnp.bfloat16), g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(r == 0)
+    def _():
+        dk_acc[:] = contrib
+
+    @pl.when(r > 0)
+    def _():
+        dk_acc[:] = dk_acc[:] + contrib
+
+    @pl.when(r == n_r - 1)
+    def _():
+        cp = pltpu.make_async_copy(dk_acc, dk_any, sems.at[1])
+        cp.start()
+        cp.wait()
+
+
+_VMEM_BUDGET = 14 * 2**20
+
+
+def _block_u(U: int, I: int, c: int, n_score_bufs: int) -> int:
+    """Largest row tile keeping (mask tile 3x-buffered + f32 score temps +
+    resident k) under budget."""
+    fixed = I * c * 2 * 2 + I * c * 4  # k stage (bf16) + dk acc (f32, bwd)
+    per_row = I * 2 * 3 + I * 4 * n_score_bufs + c * 4 * 6
+    bu = (_VMEM_BUDGET - fixed) // max(per_row, 1)
+    for cand in (256, 128, 64, 32, 16):
+        if bu >= cand and U % cand == 0:
+            return cand
+    return 16
+
+
+def fits_vmem(I: int, c: int) -> bool:
+    fixed = I * c * 2 * 2 + I * c * 4
+    per_row = I * 2 * 3 + I * 4 * 3 + c * 4 * 6
+    return fixed + 16 * per_row <= _VMEM_BUDGET
+
+
+@jax.custom_vjp
+def masked_attention(q, k, mask):
+    """softmax(q @ k.T, multiplicity mask) @ k with one HBM pass over mask.
+
+    ``mask`` is a constant (zero cotangent).  Returns f32 [U, c].
+    """
+    return _fwd_impl(q, k, mask)
+
+
+def _fwd_impl(q, k, mask):
+    U, I = mask.shape
+    c = q.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    bu = _block_u(U, I, c, n_score_bufs=2)
+    grid = (U // bu,)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bu, I), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((bu, c), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((U, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(q, mask, k)
+
+
+def _vjp_fwd(q, k, mask):
+    out = _fwd_impl(q, k, mask)
+    return out, (q, k, mask, out)
+
+
+def _vjp_bwd(res, g):
+    q, k, mask, out = res
+    U, I = mask.shape
+    c = q.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    qb = q.astype(jnp.bfloat16)
+    kb = k.astype(jnp.bfloat16)
+    bu = _block_u(U, I, c, n_score_bufs=3)
+    grid = (U // bu,)
+    dq, dk = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bu, I), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+            jax.ShapeDtypeStruct((I, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(qb, mask, g.astype(jnp.float32), out, kb)
+    return dq.astype(q.dtype), dk.astype(k.dtype), jnp.zeros_like(mask)
+
+
+masked_attention.defvjp(_vjp_fwd, _vjp_bwd)

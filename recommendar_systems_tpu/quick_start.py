@@ -67,6 +67,16 @@ def quick_start(
 
     set_fused_bip(fused)
 
+    # fused masked-softmax attention kernel (ops/masked_attn.py): GRCN's
+    # dense routing pads its mask at build time when on
+    fattn = config.get("fused_attn")
+    fattn = True if fattn is None else bool(fattn)
+    if config.get("shard_embedding_tables"):
+        fattn = False
+    from recommendar_systems_tpu.ops.masked_attn import set_fused_attn
+
+    set_fused_attn(fattn)
+
     # synthetic datasets are generated on first use (the reference ships no
     # data at all; see data/README.md there)
     if config.get("synthetic"):

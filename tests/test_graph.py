@@ -227,3 +227,57 @@ def test_factored_densebip_matches_plain():
     ref = np.asarray(spmm(plain, x))
     np.testing.assert_allclose(np.asarray(spmm(fact, x)), ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(spmm(nofact, x)), ref, atol=1e-5)
+
+
+def test_masked_attention_kernel_interpret_matches_dense():
+    """Fused masked attention (interpret mode) == dense masked softmax @ k,
+    forward and gradients, incl. empty rows and multiplicity > 1."""
+    import jax
+
+    from recommendar_systems_tpu.ops.masked_attn import masked_attention
+
+    rng = np.random.default_rng(7)
+    U, I, c = 64, 256, 64
+    q = jnp.asarray(rng.normal(size=(U, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(I, c)).astype(np.float32))
+    m = (rng.random((U, I)) < 0.05).astype(np.float32)
+    m[3] = 0.0  # empty row -> all-zero output row
+    m[5, 10] = 3.0  # duplicate-edge multiplicity
+    mask = jnp.asarray(m, dtype=jnp.bfloat16)
+
+    def dense_ref(q, k, mask):
+        qb = q.astype(jnp.bfloat16)
+        kb = k.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mf = mask.astype(jnp.float32)
+        sm = jnp.where(mf > 0, s, -1e30)
+        mx = jnp.max(sm, axis=1, keepdims=True)
+        mx = jnp.where(mx > -5e29, mx, 0.0)
+        e = mf * jnp.exp(sm - mx)
+        p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        return jnp.matmul(p.astype(jnp.bfloat16), kb,
+                          preferred_element_type=jnp.float32)
+
+    out = jax.jit(masked_attention)(q, k, mask)
+    ref = dense_ref(q, k, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-3)
+    assert np.abs(np.asarray(out[3])).max() == 0.0
+
+    def loss_fused(q, k):
+        return jnp.sum(masked_attention(q, k, mask) ** 2)
+
+    def loss_ref(q, k):
+        return jnp.sum(dense_ref(q, k, mask) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(q, k)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(q, k)
+    # the manual VJP formula is exact (checked to 4e-13 in f64); remaining
+    # differences are bf16 rounding placement, so compare by relative norm
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 2e-2, f"relative grad error {rel}"

@@ -212,3 +212,50 @@ def test_freedom_dense_masked_adj_equals_sparse(ds):
         np.asarray(spmm(ctx_sp2["masked_adj"], x)),
         atol=1e-5,
     )
+
+
+def test_grcn_fused_attn_padded_equals_plain():
+    """Tile-padded fused-attention layout == plain dense path (loss + grads,
+    bf16-rounding tolerance — the kernel feeds the MXU bf16 operands)."""
+    from jax.flatten_util import ravel_pytree
+    from recommendar_systems_tpu.ops import masked_attn as MA
+
+    ds = generate_synthetic(
+        n_users=60, n_items=40, n_inter=900, v_dim=12, t_dim=10, seed=5
+    )
+    cfg = make_config("GRCN", epochs=1)
+    for ax in cfg["hyper_parameters"]:
+        v = cfg[ax]
+        if isinstance(v, list) and v:
+            cfg[ax] = v[0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("GRCN")
+    model = cls.from_config(cfg, data)
+    try:
+        MA.set_fused_attn(True)
+        ctx_fa = cls.build_ctx(cfg, data)
+    finally:
+        MA.set_fused_attn(False)
+    ctx_dn = cls.build_ctx(cfg, data)
+    assert "dims_pad" in ctx_fa and "dims_pad" not in ctx_dn
+    assert ctx_fa["mask_ui"].shape == (256, 128)
+    batch = {
+        "users": jnp.asarray([0, 3, 5, 7]),
+        "pos_items": jnp.asarray([1, 2, 3, 4]),
+        "neg_items": jnp.asarray([9, 8, 7, 6]),
+        "weight": jnp.ones(4),
+    }
+    params = model.init(jax.random.key(0), ctx_dn, batch, True, method="loss")[
+        "params"
+    ]
+
+    def loss_of(ctx):
+        return lambda p: model.apply({"params": p}, ctx, batch, True, method="loss")[0]
+
+    l_plain = float(loss_of(ctx_dn)(params))
+    l_fused = float(loss_of(ctx_fa)(params))
+    assert abs(l_fused - l_plain) / abs(l_plain) < 1e-2, (l_fused, l_plain)
+    fa, _ = ravel_pytree(jax.grad(loss_of(ctx_fa))(params))
+    fb, _ = ravel_pytree(jax.grad(loss_of(ctx_dn))(params))
+    rel = float(jnp.linalg.norm(fa - fb) / jnp.linalg.norm(fb))
+    assert rel < 2e-2, rel
