@@ -105,34 +105,39 @@ class GRCN(RecModel):
         )
         return out, alpha
 
-    def _content_tower(self, ctx, pref, mlp, feats):
+    def _routing_dense(self, ctx, pref, mlp, feats):
+        """MLP + routing iterations on the dense mask; returns the refined
+        (pref, features), tile-padded when the fused layout is active."""
         features = nn.leaky_relu(mlp(feats), negative_slope=0.01)
         if self.has_norm:
             pref = l2_normalize(pref)
             features = l2_normalize(features)
+        mask = ctx["mask_ui"]
+        padded = ctx.get("dims_pad") is not None
+        if padded:
+            # fused-kernel layout: operate in tile-padded (Up, Ip) space
+            # end to end; zero mask rows/cols make padding inert
+            up, ip = mask.shape
+            pref = jnp.pad(pref, ((0, up - pref.shape[0]), (0, 0)))
+            features = jnp.pad(features, ((0, ip - features.shape[0]), (0, 0)))
+        # dense routing: users attend over their interacted items; the
+        # routing iterations discard the attention matrix, so the fused
+        # Pallas kernel (ops/masked_attn.py) runs them with ONE HBM pass
+        # over the mask and no [U, I] materialization
+        for _ in range(self.num_routing):
+            if padded:
+                upd = masked_attention(pref, features, mask)
+            else:
+                upd, _ = self._gat_dense(pref, features, mask)
+            pref = pref + upd
+            if self.has_norm:
+                pref = l2_normalize(pref)
+        return pref, features
+
+    def _content_tower(self, ctx, pref, mlp, feats):
         mask = ctx.get("mask_ui")
         if mask is not None:
-            padded = ctx.get("dims_pad") is not None
-            if padded:
-                # fused-kernel layout: operate in tile-padded (Up, Ip) space
-                # end to end; zero mask rows/cols make padding inert
-                up, ip = mask.shape
-                pref = jnp.pad(pref, ((0, up - pref.shape[0]), (0, 0)))
-                features = jnp.pad(
-                    features, ((0, ip - features.shape[0]), (0, 0))
-                )
-            # dense routing: users attend over their interacted items; the
-            # routing iterations discard the attention matrix, so the fused
-            # Pallas kernel (ops/masked_attn.py) runs them with ONE HBM pass
-            # over the mask and no [U, I] materialization
-            for _ in range(self.num_routing):
-                if padded:
-                    upd = masked_attention(pref, features, mask)
-                else:
-                    upd, _ = self._gat_dense(pref, features, mask)
-                pref = pref + upd
-                if self.has_norm:
-                    pref = l2_normalize(pref)
+            pref, features = self._routing_dense(ctx, pref, mlp, feats)
             x = jnp.concatenate([pref, features], axis=0)
             out_u, p_u = self._gat_dense(pref, features, mask)
             out_i, p_i = self._gat_dense(features, pref, mask.T)
@@ -140,6 +145,10 @@ class GRCN(RecModel):
             if self.has_act:
                 out = nn.leaky_relu(out, negative_slope=0.01)
             return x + out, (p_u, p_i), pref[: self.n_users]
+        features = nn.leaky_relu(mlp(feats), negative_slope=0.01)
+        if self.has_norm:
+            pref = l2_normalize(pref)
+            features = l2_normalize(features)
         # routing: items -> users over reversed single-direction edges
         src_i, dst_u = ctx["edge_i_node"], ctx["edge_u"]
         for _ in range(self.num_routing):
@@ -164,7 +173,70 @@ class GRCN(RecModel):
             [arr[: self.n_users], arr[up : up + self.n_items]], axis=0
         )
 
+    def _representation_fused(self, ctx):
+        """Fully fused dense path (ops/grcn_fused.py): routing via the
+        masked-attention kernel, then tower final convs + both EGCN hops in
+        one dual-direction gated-attention kernel per hop — no [U, I]
+        materialization anywhere (only streaming reads of the int8 mask)."""
+        from recommendar_systems_tpu.ops.grcn_fused import (
+            dual_colstats,
+            gated_dual_hop,
+        )
+
+        pv, fv = self._routing_dense(ctx, self.v_pref, self.v_mlp,
+                                     ctx["v_feat"])
+        pt, ft = self._routing_dense(ctx, self.t_pref, self.t_mlp,
+                                     ctx["t_feat"])
+        mask = ctx["mask_ui"]
+        n_u, n_i = mask.shape
+        U, I = self.n_users, self.n_items
+        x = self.id_embedding
+        if self.has_norm:
+            x = l2_normalize(x)
+        xu = jnp.pad(x[:U], ((0, n_u - U), (0, 0)))
+        xi = jnp.pad(x[U:], ((0, n_i - I), (0, 0)))
+        conf = self.model_specific_conf
+        cu = jnp.pad(conf[:U], ((0, n_u - U), (0, 0)))
+        ci = jnp.pad(conf[U:], ((0, n_i - I), (0, 0)))
+
+        def act(a):
+            return nn.leaky_relu(a, negative_slope=0.01) if self.has_act else a
+
+        stats = dual_colstats(pv, fv, pt, ft, mask)
+        ou_v, ou_t, oi_v, oi_t, h1u, h1i = gated_dual_hop(
+            pv, fv, pt, ft, cu, ci, xu, xi, stats, mask
+        )
+        h1u, h1i = act(h1u), act(h1i)
+        _, _, _, _, h2u, h2i = gated_dual_hop(
+            pv, fv, pt, ft, cu, ci, h1u, h1i, stats, mask, False
+        )
+        h2u, h2i = act(h2u), act(h2i)
+        id_rep = jnp.concatenate(
+            [(xu + h1u + h2u)[:U], (xi + h1i + h2i)[:I]], axis=0
+        )
+        contents = [
+            jnp.concatenate([(pv + act(ou_v))[:U], (fv + act(oi_v))[:I]], 0),
+            jnp.concatenate([(pt + act(ou_t))[:U], (ft + act(oi_t))[:I]], 0),
+        ]
+        prefs = {"v": pv[:U], "t": pt[:U]}
+        if self.fusion_mode == "concat":
+            rep = jnp.concatenate([id_rep] + contents, axis=1)
+        elif self.fusion_mode == "id":
+            rep = id_rep
+        else:  # mean
+            rep = (id_rep + sum(contents)) / (1 + len(contents))
+        return rep, prefs
+
     def representation(self, ctx):
+        # presence check, not truthiness: ctx rides through jit as an
+        # argument pytree, so the flag leaf is a tracer inside the step
+        if (
+            ctx.get("fused_egcn") is not None
+            and self.has_v
+            and self.has_t
+            and self.weight_mode == "confid"
+        ):
+            return self._representation_fused(ctx)
         weights = []
         contents = []
         prefs = {}
@@ -359,6 +431,7 @@ class GRCN(RecModel):
             )
 
             c = int(cfg_scalar(config, "latent_embedding", 64))
+            d = int(config["embedding_size"])
             ip = -(-data.n_items // 128) * 128
             if fused_attn_enabled() and fits_vmem(ip, c):
                 # tile-pad for the fused attention kernel; zero rows/cols
@@ -368,9 +441,14 @@ class GRCN(RecModel):
                 mp[: data.n_users, : data.n_items] = m
                 m = mp
                 ctx["dims_pad"] = (data.n_users, data.n_items)
-            # edge multiplicity counts; bf16 storage is exact for small
-            # counts and halves the HBM read of every masked softmax
-            ctx["mask_ui"] = jnp.asarray(m, dtype=jnp.bfloat16)
+                from recommendar_systems_tpu.ops import grcn_fused
+
+                if grcn_fused.fits_vmem(up, ip, c, d):
+                    ctx["fused_egcn"] = True
+            # edge multiplicity counts stored int8 (exact; counts are tiny)
+            # — a quarter of the f32 HBM bytes on every masked-softmax pass
+            assert m.max() < 127, "int8 edge-multiplicity overflow"
+            ctx["mask_ui"] = jnp.asarray(m, dtype=jnp.int8)
         if data.v_feat is not None:
             ctx["v_feat"] = data.v_feat
         if data.t_feat is not None:

@@ -232,7 +232,13 @@ def _vjp_bwd(res, g):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(qb, mask, g.astype(jnp.float32), out, kb)
-    return dq.astype(q.dtype), dk.astype(k.dtype), jnp.zeros_like(mask)
+    if jnp.issubdtype(mask.dtype, jnp.integer):
+        import numpy as np
+
+        dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    else:
+        dmask = jnp.zeros_like(mask)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dmask
 
 
 masked_attention.defvjp(_vjp_fwd, _vjp_bwd)
