@@ -44,6 +44,11 @@ def main() -> None:
         "--no-fused", action="store_true",
         help="disable the fused one-pass bidirectional propagation kernel",
     )
+    p.add_argument(
+        "--ui-mode", default=None, choices=["xla", "pallas"],
+        help="u-i propagation kernel on factored int8 storage "
+             "(default: the library default, currently 'xla')",
+    )
     args = p.parse_args()
 
     import jax
@@ -77,7 +82,8 @@ def main() -> None:
                "--users", str(args.users), "--items", str(args.items),
                "--inters", str(args.inters)] + (["--cpu"] if args.cpu else []) \
               + (["--bf16"] if args.bf16 else []) \
-              + (["--no-fused"] if args.no_fused else [])
+              + (["--no-fused"] if args.no_fused else []) \
+              + (["--ui-mode", args.ui_mode] if args.ui_mode else [])
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=budget,
@@ -127,6 +133,10 @@ def _run_one(args, model_name: str) -> None:
 
     set_fused_bip(not args.no_fused)
     set_fused_attn(not args.no_fused)
+    if args.ui_mode:
+        from recommendar_systems_tpu.graph.sparse import set_ui_matmul_mode
+
+        set_ui_matmul_mode(args.ui_mode)
     for ax in cfg["hyper_parameters"]:
         v = cfg[ax]
         if isinstance(v, list) and v:

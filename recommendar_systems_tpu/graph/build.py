@@ -132,6 +132,26 @@ def build_norm_ui(
     )
 
 
+def build_norm_adj_and_r(
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int,
+    dense: bool | None = None,
+):
+    """(norm_adj, R-hat) pair sharing storage when possible.
+
+    R-hat = D_u^-1/2 M D_i^-1/2 is exactly norm_adj's u-i block
+    (`mgcn.py:109-136`, `smore.py:176-199`), so when the adjacency
+    densifies into factored int8-count form the R block is an alias of the
+    same HBM buffers (``ui_view``) instead of a second dense f32 copy.
+    """
+    from recommendar_systems_tpu.graph.sparse import DenseBip, ui_view
+
+    norm_adj = build_norm_adj(u, i, n_users, n_items, dense=dense)
+    r_hat = ui_view(norm_adj) if isinstance(norm_adj, DenseBip) else None
+    if r_hat is None:
+        r_hat = build_norm_ui(u, i, n_users, n_items, dense=dense)
+    return norm_adj, r_hat
+
+
 def build_mean_adj(
     u: np.ndarray, i: np.ndarray, n_users: int, n_items: int,
     dense: bool | None = None,

@@ -279,6 +279,75 @@ def spmm_densemat(adj: DenseMat, x: jnp.ndarray) -> jnp.ndarray:
     return _mm(adj.mat, x, x.dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DenseUI:
+    """Rectangular U x I block sharing a ``DenseBip``'s factored storage.
+
+    The normalized interaction block R-hat = D_u^-1/2 M D_i^-1/2 (reference
+    `mgcn.py:109-136`, `smore.py:176-199`) has EXACTLY the values of the
+    symmetric bipartite adjacency's u-i block, so models that consume both
+    (SMORE/MGCN user lift through R) can alias one int8 count matrix in HBM
+    instead of carrying a second dense f32 copy: build via ``ui_view``.
+    """
+
+    mat: jnp.ndarray                # [Up, Ip] int8 M (factored) or values
+    dims: tuple | None = None       # logical (U, I)
+    row_scale: jnp.ndarray | None = None  # [Up] f32
+    col_scale: jnp.ndarray | None = None  # [Ip] f32
+
+    def tree_flatten(self):
+        children = [self.mat]
+        aux = (self.dims, self.row_scale is not None)
+        if self.row_scale is not None:
+            children += [self.row_scale, self.col_scale]
+        return tuple(children), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dims, has_scales = aux
+        return cls(
+            children[0], dims,
+            children[1] if has_scales else None,
+            children[2] if has_scales else None,
+        )
+
+    @property
+    def n_rows(self) -> int:
+        return self.dims[0] if self.dims else int(self.mat.shape[0])
+
+    @property
+    def n_cols(self) -> int:
+        return self.dims[1] if self.dims else int(self.mat.shape[1])
+
+
+def ui_view(adj: DenseBip) -> DenseUI | None:
+    """Alias a symmetric factored ``DenseBip``'s u-i block as a ``DenseUI``
+    (same HBM buffers).  None when the storage isn't the factored form."""
+    if adj.iu is not None or adj.row_scale is None or adj.diag is not None:
+        return None
+    return DenseUI(adj.ur, adj.dims or tuple(map(int, adj.ur.shape)),
+                   adj.row_scale, adj.col_scale)
+
+
+def spmm_denseui(adj: DenseUI, x: jnp.ndarray) -> jnp.ndarray:
+    """R-hat @ x for [I, d] item stacks -> [U, d] user lift."""
+    u, i = adj.n_rows, adj.n_cols
+    ip = int(adj.mat.shape[1])
+    xi = jnp.pad(x, ((0, ip - i), (0, 0))) if ip != i else x
+    if adj.col_scale is not None:
+        xi = xi * adj.col_scale[:, None]
+    m = adj.mat
+    if m.dtype == jnp.int8:
+        tgt = (jnp.float32 if jax.default_backend() == "cpu"
+               else jnp.bfloat16)
+        m = m.astype(tgt)
+    out = _mm(m, xi, jnp.float32)
+    if adj.row_scale is not None:
+        out = out * adj.row_scale[:, None]
+    return out[:u].astype(x.dtype)
+
+
 # Fused bidirectional propagation (ops/fused_bip.py): one HBM pass over the
 # symmetric dense block for BOTH A@xi and A.T@xu.  Enabled per-process (the
 # builders then store tile-padded blocks); the Pallas kernel only runs on
@@ -296,8 +365,28 @@ def fused_bip_enabled() -> bool:
     return _FUSED_BIP
 
 
+# Which kernel runs the dense u-i propagation when storage is tile-padded:
+# "xla"    = two jnp.matmuls on the raw (possibly int8) block; XLA fuses the
+#            int8->bf16 convert into the matmul reads.  Measured FASTER than
+#            the Pallas kernel on v5e (LightGCN 431k->482k, SMORE 230k->297k
+#            ex/s): Mosaic's transposed-contraction direction can't keep the
+#            MXU fed at d=64, while XLA's dual matmuls stream int8 at near
+#            peak HBM bandwidth.
+# "pallas" = ops/fused_bip.py (one HBM pass over A for both directions) —
+#            kept for comparison via bench --ui-pallas.
+_UI_MATMUL_MODE = "xla"
+
+
+def set_ui_matmul_mode(mode: str) -> None:
+    assert mode in ("pallas", "xla"), mode
+    global _UI_MATMUL_MODE
+    _UI_MATMUL_MODE = mode
+
+
 def _use_fused_kernel(adj: DenseBip, d: int) -> bool:
     if adj.iu is not None or adj.dims is None:
+        return False
+    if _UI_MATMUL_MODE != "pallas":
         return False
     if jax.default_backend() == "cpu":
         return False  # interpret mode: correct but slow; XLA path is exact
@@ -356,7 +445,12 @@ def spmm_densebip(adj: DenseBip, x: jnp.ndarray) -> jnp.ndarray:
     else:
         m = adj.ur
         if m.dtype == jnp.int8:
-            m = m.astype(jnp.float32)  # hoisted out of scanned epochs by XLA
+            # int8 counts are exactly representable in bf16; on TPU the
+            # convert fuses into the matmul's A read (139 MB int8 streamed,
+            # no hoisted wide copy), on CPU keep f32 for exact test parity
+            tgt = (jnp.float32 if jax.default_backend() == "cpu"
+                   else jnp.bfloat16)
+            m = m.astype(tgt)
         top = _mm(m, xi, x.dtype)
         bot = _mm(adj.iu if adj.iu is not None else m.T, xu, x.dtype)
     if adj.row_scale is not None:
@@ -442,6 +536,8 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
         return spmm_lowrank(adj, x)
     if isinstance(adj, DenseBip):
         return spmm_densebip(adj, x)
+    if isinstance(adj, DenseUI):
+        return spmm_denseui(adj, x)
     if isinstance(adj, DenseMat):
         return spmm_densemat(adj, x)
     raise TypeError(f"unsupported adjacency type {type(adj)}")

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from recommendar_systems_tpu.graph.build import build_norm_adj, build_norm_ui
+from recommendar_systems_tpu.graph.build import build_norm_adj_and_r
 from recommendar_systems_tpu.graph.knn import build_knn_ell
 from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, xavier_uniform
@@ -128,13 +128,12 @@ class MGCN(RecModel):
 
         knn_k = int(cfg_scalar(config, "knn_k", 10))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
+        norm_adj, r_hat = build_norm_adj_and_r(
+            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+        )
         return {
-            "norm_adj": build_norm_adj(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items
-            ),
-            "R": build_norm_ui(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items
-            ),
+            "norm_adj": norm_adj,
+            "R": r_hat,
             "image_adj": build_knn_ell(
                 data.v_feat, knn_k, cache_dir=cache_dir, cache_key="image"
             ),

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from recommendar_systems_tpu.graph.build import build_norm_adj, build_norm_ui
+from recommendar_systems_tpu.graph.build import build_norm_adj_and_r
 from recommendar_systems_tpu.graph.knn import build_knn_ell
 from recommendar_systems_tpu.graph.sparse import ell_union_max
 from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
@@ -248,15 +248,13 @@ class SMORE(RecModel):
             dense=dense,
         )
         fusion_adj = ell_union_max(image_adj, text_adj)
+        norm_adj, r_hat = build_norm_adj_and_r(
+            data.train_users_np, data.train_items_np, data.n_users,
+            data.n_items, dense=dense,
+        )
         return {
-            "norm_adj": build_norm_adj(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items,
-                dense=dense,
-            ),
-            "R": build_norm_ui(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items,
-                dense=dense,
-            ),
+            "norm_adj": norm_adj,
+            "R": r_hat,
             "image_adj": image_adj,
             "text_adj": text_adj,
             "fusion_adj": fusion_adj,

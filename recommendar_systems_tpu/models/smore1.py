@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from recommendar_systems_tpu.graph.build import build_norm_adj, build_norm_ui
+from recommendar_systems_tpu.graph.build import build_norm_adj_and_r
 from recommendar_systems_tpu.graph.knn import build_knn_ell
 from recommendar_systems_tpu.graph.sparse import ell_union_max
 from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
@@ -158,14 +158,10 @@ class SMORE1(SMORE):
         image_k = int(cfg_scalar(config, "image_knn_k", 20))
         text_k = int(cfg_scalar(config, "text_knn_k", 15))
         cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
-        ctx = {
-            "norm_adj": build_norm_adj(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items
-            ),
-            "R": build_norm_ui(
-                data.train_users_np, data.train_items_np, data.n_users, data.n_items
-            ),
-        }
+        norm_adj, r_hat = build_norm_adj_and_r(
+            data.train_users_np, data.train_items_np, data.n_users, data.n_items
+        )
+        ctx = {"norm_adj": norm_adj, "R": r_hat}
         image_adj = text_adj = None
         if data.v_feat is not None:
             image_adj = build_knn_ell(

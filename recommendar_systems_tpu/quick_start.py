@@ -67,6 +67,13 @@ def quick_start(
 
     set_fused_bip(fused)
 
+    # u-i propagation kernel on factored int8 storage: "xla" (default;
+    # measured faster on v5e) or "pallas" (ops/fused_bip.py)
+    if config.get("ui_matmul_mode"):
+        from recommendar_systems_tpu.graph.sparse import set_ui_matmul_mode
+
+        set_ui_matmul_mode(str(config["ui_matmul_mode"]))
+
     # fused masked-softmax attention kernel (ops/masked_attn.py): GRCN's
     # dense routing pads its mask at build time when on
     fattn = config.get("fused_attn")

@@ -229,6 +229,37 @@ def test_factored_densebip_matches_plain():
     np.testing.assert_allclose(np.asarray(spmm(nofact, x)), ref, atol=1e-5)
 
 
+def test_ui_view_aliases_factored_block():
+    """``ui_view`` of the factored adjacency == the dense R-hat builder:
+    same normalization, shared int8 storage, exact user lift."""
+    from recommendar_systems_tpu.graph.build import (
+        build_norm_adj_and_r,
+        build_norm_ui,
+    )
+    from recommendar_systems_tpu.graph.sparse import (
+        DenseUI,
+        set_fused_bip,
+        spmm,
+    )
+
+    rng = np.random.default_rng(7)
+    n_users, n_items = 70, 40
+    u = rng.integers(0, n_users, 500)
+    i = rng.integers(0, n_items, 500)
+    x = jnp.asarray(rng.normal(size=(n_items, 8)).astype(np.float32))
+    plain_r = build_norm_ui(u, i, n_users, n_items, dense=True)
+    try:
+        set_fused_bip(True)
+        adj, r_hat = build_norm_adj_and_r(u, i, n_users, n_items, dense=True)
+    finally:
+        set_fused_bip(False)
+    assert isinstance(r_hat, DenseUI)
+    assert r_hat.mat is adj.ur  # one HBM buffer, not a copy
+    np.testing.assert_allclose(
+        np.asarray(spmm(r_hat, x)), np.asarray(spmm(plain_r, x)), atol=1e-5
+    )
+
+
 def test_masked_attention_kernel_interpret_matches_dense():
     """Fused masked attention (interpret mode) == dense masked softmax @ k,
     forward and gradients, incl. empty rows and multiplicity > 1."""

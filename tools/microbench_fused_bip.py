@@ -28,7 +28,8 @@ def main():
     p.add_argument("--items", type=int, default=7168)   # 7050 padded to 128
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16", "int8"])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -39,15 +40,21 @@ def main():
     U, I, d = args.users, args.items, args.dim
     rng = np.random.default_rng(0)
     a_np = (rng.random((U, I), dtype=np.float32) < 0.001).astype(np.float32)
-    a_np *= rng.random((U, I), dtype=np.float32)
-    a = jnp.asarray(a_np, dtype=args.dtype)
+    if args.dtype == "int8":
+        a = jnp.asarray(a_np.astype(np.int8))
+    else:
+        a_np *= rng.random((U, I), dtype=np.float32)
+        a = jnp.asarray(a_np, dtype=args.dtype)
     xu = jnp.asarray(rng.standard_normal((U, d), dtype=np.float32))
     xi = jnp.asarray(rng.standard_normal((I, d), dtype=np.float32))
     abytes = U * I * a.dtype.itemsize
 
     def xla2(a, xu, xi):
-        top = jnp.matmul(a, xi.astype(a.dtype), preferred_element_type=jnp.float32)
-        bot = jnp.matmul(a.T, xu.astype(a.dtype), preferred_element_type=jnp.float32)
+        af = a.astype(jnp.bfloat16) if a.dtype == jnp.int8 else a
+        top = jnp.matmul(af, xi.astype(af.dtype),
+                         preferred_element_type=jnp.float32)
+        bot = jnp.matmul(af.T, xu.astype(af.dtype),
+                         preferred_element_type=jnp.float32)
         return top, bot
 
     fused = fused_bip_matmul
