@@ -82,6 +82,7 @@ def sample_negatives(
     pos_items: jnp.ndarray,
     n_neg: int = 1,
     n_tries: int = 32,  # kept for API compat; the sampler is exact
+    n_steps: int = 32,  # search depth; >= ceil(log2(max_row_len + 1))
 ) -> jnp.ndarray:
     """Sample negatives *exactly* uniformly over each user's non-positive items.
 
@@ -96,6 +97,11 @@ def sample_negatives(
 
     No retries, no collision probability, identical distribution.
     Returns shape ``[B]`` when ``n_neg == 1`` else ``[B, n_neg]``.
+
+    ``n_steps`` bounds the search depth: each iteration is a tiny
+    latency-bound [B] gather on TPU, so callers should pass
+    ``ceil(log2(max positives per user + 1))`` (trainer does) rather than
+    the worst-case 32.
     """
     B = users.shape[0]
     total = B * n_neg
@@ -119,7 +125,7 @@ def sample_negatives(
         return (jnp.where(alive, new_a, a), jnp.where(alive, new_b, b))
 
     zeros = jnp.zeros_like(row_len)
-    j_star, _ = jax.lax.fori_loop(0, 32, body, (zeros, row_len))
+    j_star, _ = jax.lax.fori_loop(0, n_steps, body, (zeros, row_len))
     neg = (r + j_star).astype(jnp.int32)
     if n_neg > 1:
         neg = neg.reshape(B, n_neg)

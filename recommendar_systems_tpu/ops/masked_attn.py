@@ -134,7 +134,11 @@ def _bwd_kernel(q_ref, mask_ref, g_ref, out_ref, k_any,
         cp.wait()
 
 
-_VMEM_BUDGET = 14 * 2**20
+# Mosaic's default scoped-VMEM limit is 16 MiB; the v5e has 128 MiB physical
+# VMEM, so (as in ops/grcn_fused.py) the calls request a raised limit and
+# size row tiles against a budget with 2x headroom under it.
+_VMEM_LIMIT = 96 * 2**20
+_VMEM_BUDGET = 48 * 2**20
 
 
 def _block_u(U: int, I: int, c: int, n_score_bufs: int) -> int:
@@ -187,7 +191,8 @@ def _fwd_impl(q, k, mask):
             pltpu.VMEM((I, c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(q, mask, k)
 
@@ -229,7 +234,8 @@ def _vjp_bwd(res, g):
             pltpu.VMEM((I, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(qb, mask, g.astype(jnp.float32), out, kb)
     if jnp.issubdtype(mask.dtype, jnp.integer):

@@ -71,6 +71,12 @@ class Trainer:
         self.use_neg_sampling = bool(config.get("use_neg_sampling", True))
         self.use_full_sampling = bool(config.get("use_full_sampling", False))
         self.neg_tries = int(config.get("neg_sample_tries", 16))
+        # exact-sampler binary-search depth: each iteration is a tiny
+        # latency-bound gather on TPU, so size it to the actual max user
+        # degree instead of the worst-case 32 (470us -> ~150us per step)
+        deg_u = np.diff(np.asarray(data.pos_indptr))
+        max_deg = int(deg_u.max()) if deg_u.size else 1
+        self._neg_steps = max(1, int(np.ceil(np.log2(max_deg + 1))) + 1)
         self.use_neighborhood_loss = bool(config.get("use_neighborhood_loss", False))
         self._nbr = None
         if self.use_neighborhood_loss:
@@ -93,6 +99,8 @@ class Trainer:
                 "indptr": jnp.asarray(C.indptr.astype(np.int32)),
                 "indices": jnp.asarray(C.indices.astype(np.int32)),
                 "invalid": jnp.asarray(deg / max(data.n_items, 1) > 0.8),
+                "steps": max(1, int(np.ceil(np.log2(int(deg.max(initial=1))
+                                                    + 1))) + 1),
             }
         self.max_k = max(config["topk"]) if isinstance(config["topk"], list) else int(config["topk"])
 
@@ -286,6 +294,7 @@ class Trainer:
                     batch["neg_items"] = sample_negatives(
                         k_neg, users, data.n_items, arrays["pos_indptr"],
                         arrays["pos_items"], n_tries=self.neg_tries,
+                        n_steps=self._neg_steps,
                     )
                 if self._nbr is not None:
                     from recommendar_systems_tpu.data.sampling import sample_from_csr
@@ -297,7 +306,7 @@ class Trainer:
                     )
                     batch["neg_neighbors"] = sample_negatives(
                         k_nn, pos, data.n_items, self._nbr["indptr"],
-                        self._nbr["indices"],
+                        self._nbr["indices"], n_steps=self._nbr["steps"],
                     )
             if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
