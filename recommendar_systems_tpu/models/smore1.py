@@ -23,6 +23,7 @@ from recommendar_systems_tpu.models.multiview import (
     GateMLP,
     QueryMLP,
     modality_view,
+    modality_views_batched,
     ui_content_view,
 )
 from recommendar_systems_tpu.models.smore import SMORE, normal_init
@@ -96,23 +97,29 @@ class SMORE1(SMORE):
         content = ui_content_view(
             ctx["norm_adj"], self.user_embedding, iid, self.n_ui_layers
         )
-        fusion_embeds = modality_view(
-            ctx["fusion_adj"], ctx["R"], inject(fusion_conv, self.gate_f), self.n_layers
-        )
+        # batch the present modality propagations + the fusion view into one
+        # wide R lift (distinct item-item graphs, shared R — multiview.py)
+        adjs, items = [], []
+        if self.has_v:
+            adjs.append(ctx["image_adj"])
+            items.append(inject(image_conv, self.gate_v))
+        if self.has_t:
+            adjs.append(ctx["text_adj"])
+            items.append(inject(text_conv, self.gate_t))
+        adjs.append(ctx["fusion_adj"])
+        items.append(inject(fusion_conv, self.gate_f))
+        embeds = modality_views_batched(adjs, ctx["R"], items, self.n_layers)
+        fusion_embeds = embeds[-1]
         det = not train
         if self.has_v:
-            image_embeds = modality_view(
-                ctx["image_adj"], ctx["R"], inject(image_conv, self.gate_v), self.n_layers
-            )
+            image_embeds = embeds[0]
             agg = jax.nn.softmax(self.query_v(fusion_embeds), axis=-1) * image_embeds
             prefer = self.prefer_dropout(
                 self.gate_image_prefer(content), deterministic=det
             )
             views.append(prefer * agg)
         if self.has_t:
-            text_embeds = modality_view(
-                ctx["text_adj"], ctx["R"], inject(text_conv, self.gate_t), self.n_layers
-            )
+            text_embeds = embeds[1 if self.has_v else 0]
             agg = jax.nn.softmax(self.query_t(fusion_embeds), axis=-1) * text_embeds
             prefer = self.prefer_dropout(
                 self.gate_text_prefer(content), deterministic=det

@@ -27,7 +27,11 @@ from flax import linen as nn
 
 from recommendar_systems_tpu.models.layers import Dense
 from recommendar_systems_tpu.models.losses import batch_sq_reg, bpr_loss, infonce
-from recommendar_systems_tpu.models.multiview import modality_view, ui_content_view
+from recommendar_systems_tpu.models.multiview import (
+    modality_view,
+    modality_views_batched,
+    ui_content_view,
+)
 from recommendar_systems_tpu.models.smore import SMORE, normal_init
 from recommendar_systems_tpu.ops.spectral import complex_from_pair, irfft_ortho, rfft_ortho
 
@@ -79,9 +83,12 @@ class SMOREMG(SMORE):
         content = ui_content_view(
             ctx["norm_adj"], self.user_embedding, iid, self.n_ui_layers
         )
-        image_embeds = modality_view(ctx["image_adj"], ctx["R"], image_item, self.n_layers)
-        text_embeds = modality_view(ctx["text_adj"], ctx["R"], text_item, self.n_layers)
-        fusion_embeds = modality_view(ctx["fusion_adj"], ctx["R"], fusion_item, self.n_layers)
+        image_embeds, text_embeds, fusion_embeds = modality_views_batched(
+            [ctx["image_adj"], ctx["text_adj"], ctx["fusion_adj"]],
+            ctx["R"],
+            [image_item, text_item, fusion_item],
+            self.n_layers,
+        )
 
         agg_image = jax.nn.softmax(self.query_v(fusion_embeds), axis=-1) * image_embeds
         agg_text = jax.nn.softmax(self.query_t(fusion_embeds), axis=-1) * text_embeds
