@@ -2,6 +2,11 @@
 their HLO metadata (shapes / bytes where present).
 
 Usage: python tools/analyze_trace.py /tmp/prof_dir [-n 30]
+       python tools/analyze_trace.py /tmp/prof_dir --per-step 134
+
+--per-step N groups ops by name prefix and prints ms/step for ops firing
+>= N/2 times (async copy/slice-start rows are DMA-queue occupancy, not
+critical path — read the compute groups).
 """
 
 from __future__ import annotations
@@ -19,6 +24,8 @@ def main() -> None:
     p.add_argument("profile_dir")
     p.add_argument("-n", type=int, default=30)
     p.add_argument("--plane", default="TPU", help="substring of plane name")
+    p.add_argument("--per-step", type=int, default=0, metavar="STEPS",
+                   help="aggregate by op-name prefix, print ms per step")
     args = p.parse_args()
 
     paths = glob.glob(args.profile_dir + "/plugins/profile/*/*.xplane.pb")
@@ -55,6 +62,21 @@ def main() -> None:
         total_ps = sum(tot.values())
         print(f"\n=== plane: {plane.name}  total {total_ps/1e12:.3f}s "
               f"(sum over lines)")
+        if args.per_step:
+            import re
+
+            groups = collections.Counter()
+            gcnt = collections.Counter()
+            for name, ps in tot.items():
+                if cnt[name] < args.per_step // 2:
+                    continue
+                m = re.match(r"%?([a-zA-Z_\-\.]+)", name)
+                g = re.sub(r"[\.\d]+$", "", m.group(1)) if m else name
+                groups[g] += ps
+                gcnt[g] += cnt[name]
+            for g, ps in groups.most_common(args.n):
+                print(f"{ps/1e9/args.per_step:8.3f} ms/step x{gcnt[g]:<7} {g}")
+            continue
         for name, ps in tot.most_common(args.n):
             st = meta.get(name, {})
             extra = []
