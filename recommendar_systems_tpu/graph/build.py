@@ -170,11 +170,18 @@ def build_mean_adj(
     with np.errstate(divide="ignore"):
         d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
-    if dense or (dense is None and dense_ok(n_users, n_items, copies=2)):
-        e = len(u)
+    if dense or (dense is None and dense_ok(n_users, n_items)):
+        # factored: D^-1 A = row-normalizer applied on the OUTPUT side of
+        # the int8 count matmul (row_norm=True) — one int8 block instead of
+        # two dense value blocks
+        counts = _dense_block(u, i, np.ones(len(u), np.float32),
+                              n_users, n_items)
+        assert counts.max() < 127, "int8 count overflow"
         return DenseBip(
-            ur=dense_asarray(_dense_block(u, i, vals[:e], n_users, n_items)),
-            iu=dense_asarray(_dense_block(i, u, vals[e:], n_items, n_users)),
+            jnp.asarray(counts.astype(np.int8)),
+            row_scale=jnp.asarray(d_inv[:n_users].astype(np.float32)),
+            col_scale=jnp.asarray(d_inv[n_users:].astype(np.float32)),
+            row_norm=True,
         )
     order = np.lexsort((cols, rows))
     return COO(
@@ -204,12 +211,16 @@ def build_rw_adj_selfloop(
     with np.errstate(divide="ignore"):
         d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
-    if dense or (dense is None and dense_ok(n_users, n_items, copies=2)):
-        e = len(u)
+    if dense or (dense is None and dense_ok(n_users, n_items)):
+        counts = _dense_block(u, i, np.ones(len(u), np.float32),
+                              n_users, n_items)
+        assert counts.max() < 127, "int8 count overflow"
         return DenseBip(
-            ur=dense_asarray(_dense_block(u, i, vals[:e], n_users, n_items)),
-            iu=dense_asarray(_dense_block(i, u, vals[e : 2 * e], n_items, n_users)),
-            diag=jnp.asarray(vals[2 * e :]),
+            jnp.asarray(counts.astype(np.int8)),
+            diag=jnp.asarray(vals[2 * len(u):]),
+            row_scale=jnp.asarray(d_inv[:n_users].astype(np.float32)),
+            col_scale=jnp.asarray(d_inv[n_users:].astype(np.float32)),
+            row_norm=True,
         )
     order = np.lexsort((cols, rows))
     return COO(

@@ -223,6 +223,12 @@ class DenseBip:
     interaction COUNT matrix — half the HBM bytes of bf16 with zero
     quantization error.  When ``row_scale``/``col_scale`` are set, ``ur``
     holds M (int8) and SpMM composes the scales around the matmul.
+
+    ``row_norm=True`` reinterprets the scales as ROW normalizers applied on
+    the output side only: ``top = row_scale * (M @ xi)``,
+    ``bot = col_scale * (M.T @ xu)`` — the exact factored form of the
+    row-normalized (mean / random-walk) adjacencies D^-1 A used by
+    MMGCN/LATTICE/MVGAE, which otherwise need TWO dense value blocks.
     """
 
     ur: jnp.ndarray                 # [U, I] (possibly padded; int8 M if factored)
@@ -231,11 +237,12 @@ class DenseBip:
     dims: tuple | None = None        # logical (U, I); None -> physical shape
     row_scale: jnp.ndarray | None = None  # [U] f32 (padded length)
     col_scale: jnp.ndarray | None = None  # [I] f32 (padded length)
+    row_norm: bool = False           # scales are output-side row normalizers
 
     def tree_flatten(self):
         children = [self.ur]
         aux = [self.iu is not None, self.diag is not None, self.dims,
-               self.row_scale is not None]
+               self.row_scale is not None, self.row_norm]
         if self.iu is not None:
             children.append(self.iu)
         if self.diag is not None:
@@ -250,6 +257,7 @@ class DenseBip:
         has_iu, has_diag = aux[0], aux[1]
         dims = aux[2] if len(aux) > 2 else None
         has_scales = aux[3] if len(aux) > 3 else False
+        row_norm = aux[4] if len(aux) > 4 else False
         it = iter(children[1:])
         return cls(
             children[0],
@@ -258,6 +266,7 @@ class DenseBip:
             dims,
             next(it) if has_scales else None,
             next(it) if has_scales else None,
+            row_norm,
         )
 
     @property
@@ -324,7 +333,8 @@ class DenseUI:
 def ui_view(adj: DenseBip) -> DenseUI | None:
     """Alias a symmetric factored ``DenseBip``'s u-i block as a ``DenseUI``
     (same HBM buffers).  None when the storage isn't the factored form."""
-    if adj.iu is not None or adj.row_scale is None or adj.diag is not None:
+    if (adj.iu is not None or adj.row_scale is None
+            or adj.diag is not None or adj.row_norm):
         return None
     return DenseUI(adj.ur, adj.dims or tuple(map(int, adj.ur.shape)),
                    adj.row_scale, adj.col_scale)
@@ -434,7 +444,7 @@ def spmm_densebip(adj: DenseBip, x: jnp.ndarray) -> jnp.ndarray:
         u, i = adj.n_users, adj.n_items
         xu = jnp.pad(x[:u], ((0, up - u), (0, 0))) if up != u else x[:u]
         xi = jnp.pad(x[u:], ((0, ip - i), (0, 0))) if ip != i else x[u:]
-    if adj.row_scale is not None:
+    if adj.row_scale is not None and not adj.row_norm:
         # factored A = diag(r) M diag(c): scale, propagate counts, scale
         xu = xu * adj.row_scale[:, None]
         xi = xi * adj.col_scale[:, None]

@@ -45,8 +45,19 @@ class DRAGON(RecModel):
         self.weight_i = self.param("weight_i", softmax_xavier, (self.n_items, 2, 1))
 
     def representation(self, ctx):
-        v_rep, v_pref = self.v_gcn(ctx["adj"], ctx["v_feat"])
-        t_rep, t_pref = self.t_gcn(ctx["adj"], ctx["t_feat"])
+        # both tower propagations are linear: one double-width pass over the
+        # shared adjacency (columnwise equivalent to two per-tower chains)
+        d = self.embedding_size
+        x = jnp.concatenate(
+            [self.v_gcn.embed(ctx["v_feat"]), self.t_gcn.embed(ctx["t_feat"])],
+            axis=1,
+        )
+        h = spmm(ctx["adj"], x)
+        h_1 = spmm(ctx["adj"], h)
+        out = x + h + h_1
+        v_rep, t_rep = out[:, :d], out[:, d:]
+        v_pref = self.v_gcn.preference
+        t_pref = self.t_gcn.preference
         rep = jnp.concatenate([v_rep, t_rep], axis=1)  # [N, 2d]
 
         # user side: blend-weighted concat (`dragon.py:231-244`)

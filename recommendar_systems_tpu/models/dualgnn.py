@@ -104,10 +104,26 @@ class DualGNN(RecModel):
         v_rep = t_rep = None
         prefs = {}
         rep = None
-        if self.has_v:
+        if self.has_v and self.has_t:
+            # the tower propagations are linear, so both ride ONE
+            # double-width pass over the shared adjacency (columnwise
+            # equivalent to two per-tower spmm chains)
+            d = self.embedding_size
+            x = jnp.concatenate(
+                [self.v_gcn.embed(ctx["v_feat"]),
+                 self.t_gcn.embed(ctx["t_feat"])], axis=1
+            )
+            h = spmm(ctx["adj"], x)
+            h_1 = spmm(ctx["adj"], h)
+            out = x + h + h_1
+            v_rep, t_rep = out[:, :d], out[:, d:]
+            prefs["v"] = self.v_gcn.preference
+            prefs["t"] = self.t_gcn.preference
+            rep = v_rep + t_rep
+        elif self.has_v:
             v_rep, prefs["v"] = self.v_gcn(ctx["adj"], ctx["v_feat"])
             rep = v_rep
-        if self.has_t:
+        elif self.has_t:
             t_rep, prefs["t"] = self.t_gcn(ctx["adj"], ctx["t_feat"])
             rep = t_rep if rep is None else rep + t_rep
 
