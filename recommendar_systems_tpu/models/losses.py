@@ -116,6 +116,16 @@ def infonce(
         view1 = view1 / (jnp.linalg.norm(view1, axis=1, keepdims=True) + 1e-12)
         view2 = view2 / (jnp.linalg.norm(view2, axis=1, keepdims=True) + 1e-12)
     pos = jnp.sum(view1 * view2, axis=1) / temperature
+    if weight is None and view1.shape[0] >= 4096:
+        # full-table InfoNCE (MENTOR noise views, `mentor.py:441-446`):
+        # autodiff would save the [N, N] logits as a residual (1.5 GB at
+        # baby scale); the flash-lse kernel keeps everything [N, N]-shaped
+        # in VMEM and recomputes in its VJP
+        from recommendar_systems_tpu.ops.flash_nce import fits_vmem, row_lse
+
+        if fits_vmem(view2.shape[0], view2.shape[1]):
+            lse = row_lse(view1 / temperature, view2)
+            return jnp.mean(lse - pos)
     logits = (view1 @ view2.T) / temperature
     if weight is not None:
         logits = jnp.where(weight[None, :] > 0, logits, -jnp.inf)
