@@ -81,6 +81,20 @@ class LATTICE(RecModel):
         self.modal_weight = self.param(
             "modal_weight", lambda k, s: jnp.array([0.5, 0.5]), (2,)
         )
+        # epoch-cached learned item graph (reference `lattice.py:97-98,
+        # 218-219`): pre_epoch_processing arms a flag, the FIRST batch of
+        # the epoch rebuilds the graph (gradients flow to trs/modal_weight
+        # on that batch), later batches reuse it DETACHED.  Width: learned
+        # blend (2k) + the two frozen original graphs (k each).
+        w_adj = 4 * self.knn_k
+        self.adj_idx_cache = self.variable(
+            "state", "item_adj_idx",
+            lambda: jnp.zeros((self.n_items, w_adj), jnp.int32),
+        )
+        self.adj_val_cache = self.variable(
+            "state", "item_adj_val",
+            lambda: jnp.zeros((self.n_items, w_adj), jnp.float32),
+        )
         if self.cf_model == "ngcf":
             self.gc_linears = [Dense(d, name=f"gc_{i}") for i in range(self.n_ui_layers)]
             self.bi_linears = [Dense(d, name=f"bi_{i}") for i in range(self.n_ui_layers)]
@@ -115,8 +129,27 @@ class LATTICE(RecModel):
         )
         return ELL(idx=idx, val=val, n_cols=self.n_items)
 
-    def propagate(self, ctx, train: bool):
-        item_adj = self.item_graph(ctx)
+    def propagate(self, ctx, train: bool, step_id=None):
+        if step_id is None or self.is_initializing():
+            item_adj = self.item_graph(ctx)
+            if self.is_initializing() and step_id is not None:
+                assert item_adj.idx.shape == self.adj_idx_cache.value.shape, (
+                    item_adj.idx.shape, self.adj_idx_cache.value.shape)
+        else:
+            cached_idx = self.adj_idx_cache.value
+            cached_val = jax.lax.stop_gradient(self.adj_val_cache.value)
+
+            def build(_):
+                a = self.item_graph(ctx)
+                return a.idx, a.val
+
+            def reuse(_):
+                return cached_idx, cached_val
+
+            idx, val = jax.lax.cond(step_id == 0, build, reuse, None)
+            self.adj_idx_cache.value = idx
+            self.adj_val_cache.value = jax.lax.stop_gradient(val)
+            item_adj = ELL(idx=idx, val=val, n_cols=self.n_items)
         h = self.item_id_embedding
         for _ in range(self.n_layers):
             h = spmm_ell(item_adj, h)
@@ -140,7 +173,7 @@ class LATTICE(RecModel):
         return all_emb[: self.n_users], all_emb[self.n_users :] + h
 
     def loss(self, ctx, batch, train: bool = True):
-        ue, ie = self.propagate(ctx, train)
+        ue, ie = self.propagate(ctx, train, step_id=batch.get("step_id"))
         users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
         w = batch.get("weight")
         u, pe, ne = ue[users], ie[pos], ie[neg]

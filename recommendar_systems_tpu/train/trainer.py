@@ -289,7 +289,8 @@ class Trainer:
                 users = arrays["train_users"][idx]
                 pos = arrays["train_items"][idx]
                 batch = {"users": users, "pos_items": pos, "weight": w,
-                         "edge_ids": idx.astype(jnp.int32)}
+                         "edge_ids": idx.astype(jnp.int32),
+                         "step_id": step_id}
                 if self.use_neg_sampling:
                     batch["neg_items"] = sample_negatives(
                         k_neg, users, data.n_items, arrays["pos_indptr"],
