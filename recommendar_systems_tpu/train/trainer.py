@@ -314,7 +314,10 @@ class Trainer:
 
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.lax.with_sharding_constraint(
-                        x, NamedSharding(self.mesh, P("data"))
+                        x,
+                        NamedSharding(
+                            self.mesh, P("data") if jnp.ndim(x) >= 1 else P()
+                        ),
                     ),
                     batch,
                 )
