@@ -49,6 +49,11 @@ def main() -> None:
         help="u-i propagation kernel on factored int8 storage "
              "(default: the library default, currently 'xla')",
     )
+    p.add_argument(
+        "--bit-adj", default=None, choices=["true", "false", "auto"],
+        help="bit-packed 0/1 adjacency storage (default: library 'auto' — "
+             "TPU only, only past the int8 densify threshold)",
+    )
     args = p.parse_args()
 
     import jax

@@ -24,8 +24,31 @@ import numpy as np
 import jax.numpy as jnp
 
 from recommendar_systems_tpu.graph.sparse import (
-    COO, DenseBip, DenseMat, dense_asarray, dense_ok, fused_bip_enabled,
+    COO, BitBip, DenseBip, DenseMat, dense_asarray, dense_ok,
+    fused_bip_enabled, use_bit_adj,
 )
+
+
+def _pack_from_edges(
+    u: np.ndarray, i: np.ndarray, n_users: int, n_items: int
+) -> np.ndarray | None:
+    """int32 bit planes [Up, Ip/32] from a DEDUPLICATED u-i edge list, built
+    directly (no dense f32 intermediate — at elec scale that block would be
+    ~50 GB of host RAM).  Returns None when duplicate edges exist (counts > 1
+    cannot pack to one bit; callers fall back to int8 storage)."""
+    from recommendar_systems_tpu.ops.bitbip import pad_cols
+
+    if len(np.unique(u.astype(np.int64) * n_items + i)) != len(u):
+        return None
+    up = _pad_to(n_users, 256)
+    ip = pad_cols(n_items)
+    packed = np.zeros((up, ip // 32), np.uint32)
+    np.bitwise_or.at(
+        packed,
+        (u, i // 32),
+        np.uint32(1) << (i % 32).astype(np.uint32),
+    )
+    return packed.view(np.int32)
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -71,6 +94,29 @@ def build_norm_adj(
     inv_u = np.power(du + 1e-7, -0.5)
     inv_i = np.power(di + 1e-7, -0.5)
     vals_ui = (inv_u[u] * inv_i[i]).astype(np.float32)
+    if (
+        dense is not False
+        and (factored is None or factored)
+        and fused_bip_enabled()
+        and use_bit_adj(n_users, n_items)
+    ):
+        # bit-packed storage reaches past the f32 densify threshold (the
+        # bits are 32x smaller), so large catalogs stay on the MXU path
+        packed = _pack_from_edges(u, i, n_users, n_items)
+        if packed is not None:
+            from recommendar_systems_tpu.ops.bitbip import pad_cols
+
+            up, ip = packed.shape[0], pad_cols(n_items)
+            r = np.zeros(up, np.float32)
+            r[:n_users] = inv_u.astype(np.float32)
+            c = np.zeros(ip, np.float32)
+            c[:n_items] = inv_i.astype(np.float32)
+            return BitBip(
+                jnp.asarray(packed),
+                dims=(n_users, n_items),
+                row_scale=jnp.asarray(r),
+                col_scale=jnp.asarray(c),
+            )
     if dense or (dense is None and dense_ok(n_users, n_items)):
         if fused_bip_enabled():
             # tile-padded storage for the fused one-pass propagation kernel
@@ -143,10 +189,14 @@ def build_norm_adj_and_r(
     densifies into factored int8-count form the R block is an alias of the
     same HBM buffers (``ui_view``) instead of a second dense f32 copy.
     """
-    from recommendar_systems_tpu.graph.sparse import DenseBip, ui_view
+    from recommendar_systems_tpu.graph.sparse import BitBip, DenseBip, ui_view
 
     norm_adj = build_norm_adj(u, i, n_users, n_items, dense=dense)
-    r_hat = ui_view(norm_adj) if isinstance(norm_adj, DenseBip) else None
+    r_hat = (
+        ui_view(norm_adj)
+        if isinstance(norm_adj, (DenseBip, BitBip))
+        else None
+    )
     if r_hat is None:
         r_hat = build_norm_ui(u, i, n_users, n_items, dense=dense)
     return norm_adj, r_hat
@@ -170,6 +220,27 @@ def build_mean_adj(
     with np.errstate(divide="ignore"):
         d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
+    if (
+        dense is not False
+        and fused_bip_enabled()
+        and use_bit_adj(n_users, n_items)
+    ):
+        packed = _pack_from_edges(u, i, n_users, n_items)
+        if packed is not None:
+            from recommendar_systems_tpu.ops.bitbip import pad_cols
+
+            up, ip = packed.shape[0], pad_cols(n_items)
+            r = np.zeros(up, np.float32)
+            r[:n_users] = d_inv[:n_users].astype(np.float32)
+            c = np.zeros(ip, np.float32)
+            c[:n_items] = d_inv[n_users:].astype(np.float32)
+            return BitBip(
+                jnp.asarray(packed),
+                dims=(n_users, n_items),
+                row_scale=jnp.asarray(r),
+                col_scale=jnp.asarray(c),
+                row_norm=True,
+            )
     if dense or (dense is None and dense_ok(n_users, n_items)):
         # factored: D^-1 A = row-normalizer applied on the OUTPUT side of
         # the int8 count matmul (row_norm=True) — one int8 block instead of

@@ -330,9 +330,13 @@ class DenseUI:
         return self.dims[1] if self.dims else int(self.mat.shape[1])
 
 
-def ui_view(adj: DenseBip) -> DenseUI | None:
-    """Alias a symmetric factored ``DenseBip``'s u-i block as a ``DenseUI``
-    (same HBM buffers).  None when the storage isn't the factored form."""
+def ui_view(adj) -> "DenseUI | BitUI | None":
+    """Alias a symmetric factored adjacency's u-i block as a rectangular
+    R-hat view (same HBM buffers).  None when the storage isn't factored."""
+    if isinstance(adj, BitBip):
+        if adj.row_norm:
+            return None
+        return BitUI(adj.bits, adj.dims, adj.row_scale, adj.col_scale)
     if (adj.iu is not None or adj.row_scale is None
             or adj.diag is not None or adj.row_norm):
         return None
@@ -355,6 +359,177 @@ def spmm_denseui(adj: DenseUI, x: jnp.ndarray) -> jnp.ndarray:
     out = _mm(m, xi, jnp.float32)
     if adj.row_scale is not None:
         out = out * adj.row_scale[:, None]
+    return out[:u].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed 0/1 adjacency (ops/bitbip.py): 1 bit per edge slot.
+#
+# Deduplicated interaction data has 0/1 counts, so the factored count matrix
+# packs losslessly into int32 bit planes — 8x fewer HBM bytes than int8, and
+# the dual-direction Pallas kernel reads the bits ONCE for both A@xi and
+# A.T@xu.  This is a CAPACITY feature, not a speed one: measured on v5e
+# (tools/probe_bitunpack.py, 19456x8192 d=64) the in-kernel VPU unpack makes
+# the bit path ~30% slower than the XLA int8 matmuls, so "auto" (default)
+# engages it only where the int8/f32 dense blocks do NOT fit the densify
+# threshold but the 32x-smaller bit planes do — extending the MXU path to
+# elec-scale catalogs (63k items) that would otherwise fall back to the
+# ~20 GB/s gather/scatter sparse path.  set_bit_adj(True) forces bits
+# whenever they fit (tests, microbenches); "auto" is also TPU-only (the CPU
+# fallback runs Pallas in interpret mode — correct but slow).
+# ---------------------------------------------------------------------------
+
+_BIT_ADJ: bool | str = "auto"
+
+
+def set_bit_adj(mode: bool | str) -> None:
+    """True (force) / False / "auto" (TPU only, only past the int8 dense
+    threshold).  Must be set before graphs build."""
+    global _BIT_ADJ
+    _BIT_ADJ = mode
+
+
+def use_bit_adj(n_rows: int, n_cols: int) -> bool:
+    """Should this adjacency use bit-packed storage?  See module comment."""
+    if _BIT_ADJ is False or not bit_ok(n_rows, n_cols):
+        return False
+    if _BIT_ADJ is True:
+        return True
+    return jax.default_backend() != "cpu" and not dense_ok(n_rows, n_cols)
+
+
+def bit_ok(n_rows: int, n_cols: int) -> bool:
+    """Bit-plane storage bytes fit the densify threshold."""
+    from recommendar_systems_tpu.ops.bitbip import fits_vmem, pad_cols
+
+    ip = pad_cols(n_cols)
+    return (
+        _DENSE_THRESHOLD > 0
+        and n_rows * ip // 8 <= _DENSE_THRESHOLD
+        and fits_vmem(ip, 128)
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BitBip:
+    """Bit-packed factored bipartite adjacency A = diag(r) M diag(c) with
+    0/1 M stored as int32 bit planes (see ops/bitbip.py for the layout).
+
+    ``row_norm=True`` reinterprets the scales as output-side row normalizers
+    (mean / random-walk adjacency), exactly like ``DenseBip.row_norm``.
+    ``col_scale`` is stored in LOGICAL column order (applied before the
+    physical bit-plane permutation).
+    """
+
+    bits: jnp.ndarray               # [Up, K] int32, K = Ip/32
+    dims: tuple                     # logical (U, I)
+    row_scale: jnp.ndarray          # [Up] f32
+    col_scale: jnp.ndarray          # [Ip] f32, logical order
+    row_norm: bool = False
+
+    def tree_flatten(self):
+        return (self.bits, self.row_scale, self.col_scale), (
+            self.dims, self.row_norm,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], children[1], children[2], aux[1])
+
+    @property
+    def k_words(self) -> int:
+        return int(self.bits.shape[1])
+
+    @property
+    def pad_dims(self) -> tuple:
+        return (int(self.bits.shape[0]), self.k_words * 32)
+
+    @property
+    def n_users(self) -> int:
+        return self.dims[0]
+
+    @property
+    def n_items(self) -> int:
+        return self.dims[1]
+
+    @property
+    def n_rows(self) -> int:
+        return self.n_users + self.n_items
+
+    n_cols = n_rows
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BitUI:
+    """Rectangular R-hat view aliasing a ``BitBip``'s bit planes (same HBM
+    buffers) — the bit-packed counterpart of ``DenseUI``."""
+
+    bits: jnp.ndarray
+    dims: tuple
+    row_scale: jnp.ndarray
+    col_scale: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.bits, self.row_scale, self.col_scale), (self.dims,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], children[1], children[2])
+
+    @property
+    def k_words(self) -> int:
+        return int(self.bits.shape[1])
+
+    @property
+    def n_rows(self) -> int:
+        return self.dims[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.dims[1]
+
+
+def spmm_bitbip(adj: BitBip, x: jnp.ndarray) -> jnp.ndarray:
+    from recommendar_systems_tpu.ops.bitbip import (
+        bit_dual_matmul, perm_cols, unperm_cols,
+    )
+
+    up, ip = adj.pad_dims
+    u, i = adj.dims
+    padded_in = x.shape[0] == up + ip and (up, ip) != adj.dims
+    if padded_in:
+        out_u, out_i = up, ip
+        xu, xi = x[:up], x[up:]
+    else:
+        out_u, out_i = u, i
+        xu = jnp.pad(x[:u], ((0, up - u), (0, 0))) if up != u else x[:u]
+        xi = jnp.pad(x[u:], ((0, ip - i), (0, 0))) if ip != i else x[u:]
+    if not adj.row_norm:
+        xu = xu * adj.row_scale[:, None]
+        xi = xi * adj.col_scale[:, None]
+    top, bot_p = bit_dual_matmul(
+        adj.bits, xu, perm_cols(xi.astype(jnp.bfloat16), adj.k_words)
+    )
+    bot = unperm_cols(bot_p, adj.k_words)
+    top = top * adj.row_scale[:, None]
+    bot = bot * adj.col_scale[:, None]
+    top, bot = top.astype(x.dtype), bot.astype(x.dtype)
+    return jnp.concatenate([top[:out_u], bot[:out_i]], axis=0)
+
+
+def spmm_bitui(adj: BitUI, x: jnp.ndarray) -> jnp.ndarray:
+    """R-hat @ x for [I, d] item stacks -> [U, d] user lift."""
+    from recommendar_systems_tpu.ops.bitbip import bit_matmul, perm_cols
+
+    up, kw = int(adj.bits.shape[0]), adj.k_words
+    ip = kw * 32
+    u, i = adj.dims
+    xi = jnp.pad(x, ((0, ip - i), (0, 0))) if ip != i else x
+    xi = xi * adj.col_scale[:, None]
+    out = bit_matmul(adj.bits, perm_cols(xi.astype(jnp.bfloat16), kw))
+    out = out * adj.row_scale[:, None]
     return out[:u].astype(x.dtype)
 
 
@@ -410,6 +585,13 @@ def pad_nodes(adj, x: jnp.ndarray) -> jnp.ndarray:
     ``DenseBip`` (no-op otherwise).  Zero rows are inert under propagation,
     so whole layer loops can run in padded space and un-pad once at the end
     (see ``models/layers.py::lightgcn_propagate``)."""
+    if isinstance(adj, BitBip):
+        u, i = adj.dims
+        up, ip = adj.pad_dims
+        if (up, ip) != (u, i):
+            xu = jnp.pad(x[:u], ((0, up - u), (0, 0)))
+            xi = jnp.pad(x[u:], ((0, ip - i), (0, 0)))
+            return jnp.concatenate([xu, xi], axis=0)
     if isinstance(adj, DenseBip) and adj.dims is not None:
         u, i = adj.dims
         up, ip = int(adj.ur.shape[0]), int(adj.ur.shape[1])
@@ -422,6 +604,11 @@ def pad_nodes(adj, x: jnp.ndarray) -> jnp.ndarray:
 
 def unpad_nodes(adj, x: jnp.ndarray) -> jnp.ndarray:
     """Inverse of ``pad_nodes``."""
+    if isinstance(adj, BitBip):
+        u, i = adj.dims
+        up, ip = adj.pad_dims
+        if (up, ip) != (u, i):
+            return jnp.concatenate([x[:u], x[up : up + i]], axis=0)
     if isinstance(adj, DenseBip) and adj.dims is not None:
         u, i = adj.dims
         up, ip = int(adj.ur.shape[0]), int(adj.ur.shape[1])
@@ -546,8 +733,12 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
         return spmm_lowrank(adj, x)
     if isinstance(adj, DenseBip):
         return spmm_densebip(adj, x)
+    if isinstance(adj, BitBip):
+        return spmm_bitbip(adj, x)
     if isinstance(adj, DenseUI):
         return spmm_denseui(adj, x)
+    if isinstance(adj, BitUI):
+        return spmm_bitui(adj, x)
     if isinstance(adj, DenseMat):
         return spmm_densemat(adj, x)
     raise TypeError(f"unsupported adjacency type {type(adj)}")

@@ -67,6 +67,14 @@ def quick_start(
 
     set_fused_bip(fused)
 
+    # bit-packed 0/1 adjacency storage (ops/bitbip.py): true / false / auto
+    # (auto = TPU only; the CPU path would run Pallas in interpret mode)
+    if config.get("bit_adj") is not None:
+        from recommendar_systems_tpu.graph.sparse import set_bit_adj
+
+        v = config["bit_adj"]
+        set_bit_adj(v if v == "auto" else bool(v))
+
     # u-i propagation kernel on factored int8 storage: "xla" (default;
     # measured faster on v5e) or "pallas" (ops/fused_bip.py)
     if config.get("ui_matmul_mode"):

@@ -1,0 +1,121 @@
+"""Bit-packed adjacency (graph/sparse.py::BitBip, ops/bitbip.py) vs COO.
+
+Runs the Pallas kernels in interpret mode on CPU; tiny shapes keep it fast
+despite the 4096-column padding the bit-plane layout requires.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommendar_systems_tpu.graph import build as gb
+from recommendar_systems_tpu.graph import sparse as gs
+
+
+@pytest.fixture(autouse=True)
+def _bit_on():
+    prev_fused = gs.fused_bip_enabled()
+    gs.set_bit_adj(True)
+    gs.set_fused_bip(True)
+    yield
+    gs.set_bit_adj("auto")
+    gs.set_fused_bip(prev_fused)
+
+
+def _edges(n_users=40, n_items=30, n_edges=200, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_users, n_edges)
+    i = rng.integers(0, n_items, n_edges)
+    keys = np.unique(u * n_items + i)
+    return (keys // n_items).astype(np.int64), (keys % n_items).astype(np.int64)
+
+
+def test_norm_adj_bitbip_matches_coo():
+    u, i = _edges()
+    nu, ni = 40, 30
+    bit = gb.build_norm_adj(u, i, nu, ni)
+    assert isinstance(bit, gs.BitBip)
+    coo = gb.build_norm_adj(u, i, nu, ni, dense=False)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((nu + ni, 16)),
+                    dtype=jnp.float32)
+    got = gs.spmm(bit, x)
+    want = gs.spmm(coo, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_mean_adj_bitbip_matches_coo():
+    u, i = _edges(seed=3)
+    nu, ni = 40, 30
+    bit = gb.build_mean_adj(u, i, nu, ni)
+    assert isinstance(bit, gs.BitBip) and bit.row_norm
+    coo = gb.build_mean_adj(u, i, nu, ni, dense=False)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((nu + ni, 8)),
+                    dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(gs.spmm(bit, x)), np.asarray(gs.spmm(coo, x)),
+        rtol=2e-2, atol=5e-3,
+    )
+
+
+def test_bitui_view_matches_norm_ui():
+    u, i = _edges(seed=5)
+    nu, ni = 40, 30
+    adj, r = gb.build_norm_adj_and_r(u, i, nu, ni)
+    assert isinstance(adj, gs.BitBip) and isinstance(r, gs.BitUI)
+    xi = jnp.asarray(np.random.default_rng(4).standard_normal((ni, 8)),
+                     dtype=jnp.float32)
+    coo_r = gb.build_norm_ui(u, i, nu, ni, dense=False)
+    np.testing.assert_allclose(
+        np.asarray(gs.spmm(r, xi)), np.asarray(gs.spmm(coo_r, xi)),
+        rtol=2e-2, atol=2e-3,
+    )
+
+
+def test_bitbip_gradients_match_coo():
+    u, i = _edges(seed=7)
+    nu, ni = 40, 30
+    bit = gb.build_norm_adj(u, i, nu, ni)
+    coo = gb.build_norm_adj(u, i, nu, ni, dense=False)
+    x0 = jnp.asarray(np.random.default_rng(6).standard_normal((nu + ni, 8)),
+                     dtype=jnp.float32)
+    t = jnp.asarray(np.random.default_rng(8).standard_normal((nu + ni, 8)),
+                    dtype=jnp.float32)
+
+    def loss(adj):
+        def f(x):
+            y = gs.spmm(adj, x)
+            return jnp.sum((y - t) ** 2)
+        return f
+
+    g_bit = jax.grad(loss(bit))(x0)
+    g_coo = jax.grad(loss(coo))(x0)
+    np.testing.assert_allclose(np.asarray(g_bit), np.asarray(g_coo),
+                               rtol=3e-2, atol=5e-3)
+
+
+def test_duplicate_edges_fall_back_to_int8():
+    u = np.array([0, 0, 1], dtype=np.int64)
+    i = np.array([1, 1, 2], dtype=np.int64)
+    adj = gb.build_norm_adj(u, i, 4, 4)
+    assert not isinstance(adj, gs.BitBip)
+
+
+def test_padded_space_roundtrip():
+    u, i = _edges(seed=9)
+    nu, ni = 40, 30
+    bit = gb.build_norm_adj(u, i, nu, ni)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((nu + ni, 8)),
+                    dtype=jnp.float32)
+    xp = gs.pad_nodes(bit, x)
+    up, ip = bit.pad_dims
+    assert xp.shape[0] == up + ip
+    np.testing.assert_allclose(np.asarray(gs.unpad_nodes(bit, xp)),
+                               np.asarray(x))
+    # one padded-space propagation step == unpadded step
+    got = gs.unpad_nodes(bit, gs.spmm(bit, xp))
+    want = gs.spmm(bit, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
