@@ -54,6 +54,11 @@ def main() -> None:
         help="bit-packed 0/1 adjacency storage (default: library 'auto' — "
              "TPU only, only past the int8 densify threshold)",
     )
+    p.add_argument(
+        "--no-features", action="store_true",
+        help="generate the dataset without modality features (id-only "
+             "models at large scale; saves ~1.1 GB HBM at elec size)",
+    )
     args = p.parse_args()
 
     import jax
@@ -88,7 +93,8 @@ def main() -> None:
                "--inters", str(args.inters)] + (["--cpu"] if args.cpu else []) \
               + (["--bf16"] if args.bf16 else []) \
               + (["--no-fused"] if args.no_fused else []) \
-              + (["--ui-mode", args.ui_mode] if args.ui_mode else [])
+              + (["--ui-mode", args.ui_mode] if args.ui_mode else []) \
+              + (["--bit-adj", args.bit_adj] if args.bit_adj else [])
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=budget,
@@ -142,22 +148,32 @@ def _run_one(args, model_name: str) -> None:
         from recommendar_systems_tpu.graph.sparse import set_ui_matmul_mode
 
         set_ui_matmul_mode(args.ui_mode)
+    if args.bit_adj:
+        from recommendar_systems_tpu.graph.sparse import set_bit_adj
+
+        set_bit_adj(
+            args.bit_adj if args.bit_adj == "auto" else args.bit_adj == "true"
+        )
     for ax in cfg["hyper_parameters"]:
         v = cfg[ax]
         if isinstance(v, list) and v:
             cfg[ax] = v[0]
 
     ds = generate_synthetic_fast(
-        n_users=args.users, n_items=args.items, n_inter=args.inters, seed=0
+        n_users=args.users, n_items=args.items, n_inter=args.inters, seed=0,
+        with_features=not args.no_features,
     )
     data = build_data_bundle(ds, cfg)
     cls = get_model(model_name)
     model = cls.from_config(cfg, data)
+    print("# bench: building ctx", flush=True)
     ctx = cls.build_ctx(cfg, data)
+    print(f"# bench: adj={type(ctx.get('norm_adj')).__name__}", flush=True)
     trainer = Trainer(cfg, model, ctx, data)
     trainer.init_state(0)
 
     # warm-up epoch (compile)
+    print("# bench: warm-up epoch (compile)", flush=True)
     key = jax.random.key(1)
     key, k0 = jax.random.split(key)
     out = trainer._train_epoch_jit(
@@ -167,6 +183,7 @@ def _run_one(args, model_name: str) -> None:
     trainer.params, trainer.opt_state, trainer.net_state = out[0], out[1], out[2]
     # a host transfer is the only reliable sync on the axon tunnel
     float(np.asarray(out[3]).sum())
+    print("# bench: warm-up done; timing", flush=True)
 
     # timed epochs
     if args.profile:
@@ -234,7 +251,7 @@ def _run_one(args, model_name: str) -> None:
                     "epoch_time_s": round(dt / args.epochs, 3),
                     "n_train": n_train,
                     "dtype": "bf16" if args.bf16 else "f32",
-                    "dataset": f"synthetic-baby({args.users}u/{args.items}i)",
+                    "dataset": f"synthetic({args.users}u/{args.items}i)",
                     "baseline_ref": "reference PyTorch on host CPU (BASELINE_MEASURED.json)",
                 },
             }

@@ -381,6 +381,19 @@ def spmm_denseui(adj: DenseUI, x: jnp.ndarray) -> jnp.ndarray:
 
 _BIT_ADJ: bool | str = "auto"
 
+# Bit planes get their own capacity budget: the f32 densify threshold
+# (default 1.5 GB) exists because dense blocks compete with activations for
+# HBM, but the packed bits are 32x smaller than the f32 equivalent, so a
+# catalog whose f32 block would be 50 GB (elec) packs to ~1.6 GB — well
+# worth spending on a 16 GB-HBM chip to stay on the MXU path.
+_BIT_THRESHOLD = int(4e9)
+
+
+def set_bit_threshold(n_bytes: int) -> None:
+    """Cap on packed bit-plane bytes for the bit adjacency path."""
+    global _BIT_THRESHOLD
+    _BIT_THRESHOLD = int(n_bytes)
+
 
 def set_bit_adj(mode: bool | str) -> None:
     """True (force) / False / "auto" (TPU only, only past the int8 dense
@@ -399,13 +412,15 @@ def use_bit_adj(n_rows: int, n_cols: int) -> bool:
 
 
 def bit_ok(n_rows: int, n_cols: int) -> bool:
-    """Bit-plane storage bytes fit the densify threshold."""
+    """Bit-plane storage bytes fit the bit budget (densification globally
+    on via the dense threshold, see module comment on ``_BIT_THRESHOLD``)."""
     from recommendar_systems_tpu.ops.bitbip import fits_vmem, pad_cols
 
     ip = pad_cols(n_cols)
     return (
         _DENSE_THRESHOLD > 0
-        and n_rows * ip // 8 <= _DENSE_THRESHOLD
+        and _BIT_THRESHOLD > 0
+        and n_rows * ip // 8 <= _BIT_THRESHOLD
         and fits_vmem(ip, 128)
     )
 

@@ -1,27 +1,37 @@
 """Bit-packed 0/1 adjacency matmuls: 1 bit per edge slot, unpacked on-VPU.
 
 The factored dense adjacency (graph/sparse.py::DenseBip) stores the u-i
-interaction COUNT matrix as int8 and the propagation matmuls stream it from
-HBM at ~94% of peak — storage bytes ARE the step time (see PARITY.md
-roofline).  Deduplicated interaction data (the reference's 5-core `.inter`
-files and this repo's synthetic generator) has 0/1 counts, so the matrix
-packs losslessly to ONE bit per entry: 8x fewer A bytes than int8, and the
-fused dual-direction kernel reads A once for both ``A @ xi`` and
-``A.T @ xu`` — 16x fewer A bytes than two int8 matmuls.  The same packing
-extends the dense MXU path to elec-scale catalogs (63k items) where f32/int8
-dense blocks no longer fit HBM comfortably.
+interaction COUNT matrix as int8.  Deduplicated interaction data (the
+reference's 5-core `.inter` files and this repo's synthetic generator) has
+0/1 counts, so the matrix packs losslessly to ONE bit per entry: 8x fewer A
+bytes than int8, and the fused dual-direction kernel reads A once for both
+``A @ xi`` and ``A.T @ xu`` — 16x fewer A bytes than two int8 matmuls.  The
+packing extends the dense MXU path to catalogs where int8/f32 blocks no
+longer fit HBM (ml-20m-class: 138k x 27k; elec: 192k x 63k).
+
+The grid is 2-D: row tiles x COLUMN tiles of a fixed ``KC = 256`` words
+(8192 columns).  Per-program work is therefore constant regardless of
+catalog width — Mosaic compile time stays flat (a single monolithic-K
+program at elec width never finished compiling).  Each direction is its own
+kernel so its output block accumulates across the MINOR grid dim (the only
+revisit pattern Pallas TPU keeps resident in VMEM): ``A @ xi`` iterates
+(rows, cols) and accumulates over column tiles; ``A.T @ xu`` iterates
+(cols, rows) and accumulates over row tiles.  The "dual" op is the pair —
+with 1-bit storage, reading A twice is still 4x fewer A bytes than ONE
+int8 pass.
 
 Bit-plane layout (chosen so the in-kernel unpack is pure shift/and + lane
-concatenation — NO cross-lane interleave): packed word ``P[u, k]`` (int32)
-holds 32 columns; PHYSICAL column ``p = j*K + k`` is bit ``j`` of word ``k``,
-i.e. ``unpacked = concat_j((P >> j) & 1)``.  Physical p maps to logical
-column ``c = (p % K) * 32 + p // K``, so operands/results permute with a
-reshape-transpose (no gather):
+concatenation WITHIN one column tile — no cross-tile interleave): packed
+word ``P[u, k]`` (int32) holds logical columns ``k*32 + j`` at bit ``j``
+(plain little-endian packing).  Inside column tile ``t`` (words
+``t*KC .. (t+1)*KC``), the unpacked PHYSICAL column is
+``t*32*KC + j*KC + (k - t*KC)``, so operands/results permute with a
+reshape-transpose per tile (no gather):
 
-    xi_perm = xi.reshape(K, 32, d).transpose(1, 0, 2).reshape(Ip, d)
+    xi_perm = xi.reshape(C, KC, 32, d).transpose(0, 2, 1, 3).reshape(Ip, d)
 
-Column padding must make K = Ip/32 a multiple of 128 (int32 lane tiling),
-i.e. Ip % 4096 == 0; zero rows/columns are numerically inert.
+Column padding makes ``Ip`` a multiple of ``32*KC = 8192``; zero
+rows/columns are numerically inert.
 
 Gradients: the packed matrix is a frozen graph constant (integer leaf, zero
 cotangent); the operand VJPs reuse the same kernels with roles swapped, so
@@ -29,8 +39,6 @@ backward also reads A once per pass.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,18 +49,31 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = 96 * 2**20
 _VMEM_BUDGET = 64 * 2**20
 
+KC = 256            # words per column tile
+IC = 32 * KC        # unpacked columns per tile
+
+# testing/tuning override for the row-tile size (None = auto)
+_FORCE_BLOCK_U: int | None = None
+
+
+def set_block_u(bu: int | None) -> None:
+    global _FORCE_BLOCK_U
+    _FORCE_BLOCK_U = bu
+
+
 # ---------------------------------------------------------------------------
 # packing / permutation helpers
 # ---------------------------------------------------------------------------
 
 
 def pad_cols(n_cols: int) -> int:
-    """Columns padded so K = Ip/32 is a multiple of 128 lanes."""
-    return -(-n_cols // 4096) * 4096
+    """Columns padded to whole column tiles (multiples of 32*KC)."""
+    return -(-n_cols // IC) * IC
 
 
 def pack_bits(m01: np.ndarray) -> np.ndarray:
-    """[U, Ip] 0/1 -> int32 [U, Ip/32] bit planes (host-side, at build)."""
+    """[U, Ip] 0/1 -> int32 [U, Ip/32] words (host-side, at build).
+    Logical column ``c`` is bit ``c % 32`` of word ``c // 32``."""
     u, ip = m01.shape
     assert ip % 32 == 0, ip
     w = m01.astype(np.uint32).reshape(u, ip // 32, 32)
@@ -63,18 +84,20 @@ def pack_bits(m01: np.ndarray) -> np.ndarray:
 
 
 def perm_cols(x: jnp.ndarray, k_words: int) -> jnp.ndarray:
-    """Logical [Ip, d] operand -> physical bit-plane row order."""
+    """Logical [Ip, d] operand -> per-tile physical bit-plane row order."""
     ip, d = x.shape
-    return x.reshape(k_words, 32, d).transpose(1, 0, 2).reshape(ip, d)
+    c = k_words // KC
+    return x.reshape(c, KC, 32, d).transpose(0, 2, 1, 3).reshape(ip, d)
 
 
 def unperm_cols(x: jnp.ndarray, k_words: int) -> jnp.ndarray:
     ip, d = x.shape
-    return x.reshape(32, k_words, d).transpose(1, 0, 2).reshape(ip, d)
+    c = k_words // KC
+    return x.reshape(c, 32, KC, d).transpose(0, 2, 1, 3).reshape(ip, d)
 
 
 def _unpack(p: jnp.ndarray) -> jnp.ndarray:
-    """int32 [bu, K] -> bf16 [bu, 32K] in physical column order."""
+    """int32 [bu, KC] -> bf16 [bu, IC] in per-tile physical column order."""
     planes = [
         jnp.bitwise_and(jax.lax.shift_right_logical(p, j), 1).astype(
             jnp.bfloat16
@@ -89,96 +112,41 @@ def _interpret() -> bool:
 
 
 def _pick_block_u(U: int, ip: int, d: int) -> int:
-    """Largest row tile under the VMEM budget: P tile (int32, 3x buffered),
-    the unpacked bf16 temp, xu/top tiles, plus the fixed xi + accumulator."""
-    fixed = ip * d * (2 + 4)
-    per_row = (ip // 8) * 3 + ip * 2 + d * (2 * 3 + 4 * 3)
+    """Largest row tile under the VMEM budget.  Fixed costs: the xi column
+    tile (bf16, 3x buffered) and the [IC, d] f32 output/contribution block.
+    Per-row costs: the packed tile (int32, 3x buffered), the unpacked bf16
+    temp (x2 for the concat transient), and the xu/top tiles.  Per-program
+    cost is independent of the catalog width (the grid tiles columns)."""
+    if _FORCE_BLOCK_U is not None and U % _FORCE_BLOCK_U == 0:
+        return _FORCE_BLOCK_U
+    fixed = 3 * IC * d * 2 + IC * d * 4
+    per_row = KC * 4 * 3 + IC * 2 * 2 + d * (2 * 3 + 4)
     budget = _VMEM_BUDGET - fixed
     bu = budget // max(per_row, 1)
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if bu >= cand and U % cand == 0:
+    # measured on v5e (tools/probe_bit_elec.py): single-column-tile grids
+    # want 1024-row tiles (19456x8192 d=64: 2.0 ms vs 22 ms at 512); multi-
+    # tile grids run best at 512 (192512x65536 d=64: 43.5 ms; 1024 blows up
+    # the Mosaic compile)
+    top = 1024 if ip <= IC else 512
+    for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= top and bu >= cand and U % cand == 0:
             return cand
     return 8
 
 
 def fits_vmem(ip: int, d: int) -> bool:
-    fixed = ip * d * (2 + 4)
-    per_row = (ip // 8) * 3 + ip * 2 + d * (2 * 3 + 4 * 3)
+    fixed = 3 * IC * d * 2 + IC * d * 4
+    per_row = KC * 4 * 3 + IC * 2 * 2 + d * (2 * 3 + 4)
     return fixed + 8 * per_row <= _VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------
-# dual-direction kernel: (A @ xi, A.T @ xu) in one HBM pass over the bits
+# dual-direction op: (A @ xi, A.T @ xu) — one kernel per direction
 # ---------------------------------------------------------------------------
 
 
-def _dual_kernel(p_ref, xu_ref, xi_any, top_ref, bot_any, xi_vmem, bot_acc,
-                 sems):
-    r = pl.program_id(0)
-    n_r = pl.num_programs(0)
-
-    @pl.when(r == 0)
-    def _():
-        cp = pltpu.make_async_copy(xi_any, xi_vmem, sems.at[0])
-        cp.start()
-        cp.wait()
-
-    un = _unpack(p_ref[:])  # [bu, Ip] physical order
-    top_ref[:] = jnp.dot(un, xi_vmem[:], preferred_element_type=jnp.float32)
-    contrib = jax.lax.dot_general(
-        un, xu_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(r == 0)
-    def _():
-        bot_acc[:] = contrib
-
-    @pl.when(r > 0)
-    def _():
-        bot_acc[:] = bot_acc[:] + contrib
-
-    @pl.when(r == n_r - 1)
-    def _():
-        cp = pltpu.make_async_copy(bot_acc, bot_any, sems.at[1])
-        cp.start()
-        cp.wait()
-
-
 def _dual_call(packed, xu, xi_perm):
-    U, K = packed.shape
-    ip = K * 32
-    d = xu.shape[1]
-    block_u = _pick_block_u(U, ip, d)
-    return pl.pallas_call(
-        _dual_kernel,
-        grid=(U // block_u,),
-        in_specs=[
-            pl.BlockSpec((block_u, K), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_u, d), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_u, d), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((U, d), jnp.float32),
-            jax.ShapeDtypeStruct((ip, d), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ip, d), jnp.bfloat16),
-            pltpu.VMEM((ip, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        interpret=_interpret(),
-    )(packed, xu.astype(jnp.bfloat16), xi_perm.astype(jnp.bfloat16))
+    return _mm_call(packed, xi_perm), _mm_t_call(packed, xu)
 
 
 @jax.custom_vjp
@@ -207,41 +175,40 @@ bit_dual_matmul.defvjp(_dual_fwd, _dual_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(p_ref, xi_any, top_ref, xi_vmem, sems):
-    r = pl.program_id(0)
-
-    @pl.when(r == 0)
-    def _():
-        cp = pltpu.make_async_copy(xi_any, xi_vmem, sems.at[0])
-        cp.start()
-        cp.wait()
-
+def _fwd_kernel(p_ref, xi_ref, top_ref):
+    c = pl.program_id(1)
     un = _unpack(p_ref[:])
-    top_ref[:] = jnp.dot(un, xi_vmem[:], preferred_element_type=jnp.float32)
+    contrib = jnp.dot(un, xi_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        top_ref[:] = contrib
+
+    @pl.when(c > 0)
+    def _():
+        top_ref[:] = top_ref[:] + contrib
 
 
 def _mm_call(packed, xi_perm):
     U, K = packed.shape
     ip = K * 32
     d = xi_perm.shape[1]
+    n_c = K // KC
     block_u = _pick_block_u(U, ip, d)
     return pl.pallas_call(
         _fwd_kernel,
-        grid=(U // block_u,),
+        grid=(U // block_u, n_c),
         in_specs=[
-            pl.BlockSpec((block_u, K), lambda r: (r, 0),
+            pl.BlockSpec((block_u, KC), lambda r, c: (r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((IC, d), lambda r, c: (c, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_u, d), lambda r: (r, 0),
+            pl.BlockSpec((block_u, d), lambda r, c: (r, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((U, d), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((ip, d), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((1,)),
-        ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
         ),
@@ -249,9 +216,8 @@ def _mm_call(packed, xi_perm):
     )(packed, xi_perm.astype(jnp.bfloat16))[0]
 
 
-def _t_kernel(p_ref, xu_ref, bot_any, bot_acc, sems):
-    r = pl.program_id(0)
-    n_r = pl.num_programs(0)
+def _t_kernel(p_ref, xu_ref, bot_ref):
+    r = pl.program_id(1)
     un = _unpack(p_ref[:])
     contrib = jax.lax.dot_general(
         un, xu_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
@@ -260,41 +226,35 @@ def _t_kernel(p_ref, xu_ref, bot_any, bot_acc, sems):
 
     @pl.when(r == 0)
     def _():
-        bot_acc[:] = contrib
+        bot_ref[:] = contrib
 
     @pl.when(r > 0)
     def _():
-        bot_acc[:] = bot_acc[:] + contrib
-
-    @pl.when(r == n_r - 1)
-    def _():
-        cp = pltpu.make_async_copy(bot_acc, bot_any, sems.at[0])
-        cp.start()
-        cp.wait()
+        bot_ref[:] = bot_ref[:] + contrib
 
 
 def _mm_t_call(packed, xu):
     U, K = packed.shape
     ip = K * 32
     d = xu.shape[1]
+    n_c = K // KC
     block_u = _pick_block_u(U, ip, d)
     return pl.pallas_call(
         _t_kernel,
-        grid=(U // block_u,),
+        grid=(n_c, U // block_u),
         in_specs=[
-            pl.BlockSpec((block_u, K), lambda r: (r, 0),
+            pl.BlockSpec((block_u, KC), lambda c, r: (r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_u, d), lambda r: (r, 0),
+            pl.BlockSpec((block_u, d), lambda c, r: (r, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((IC, d), lambda c, r: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_shape=[jax.ShapeDtypeStruct((ip, d), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((ip, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
-        ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+            vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=_interpret(),
     )(packed, xu.astype(jnp.bfloat16))[0]

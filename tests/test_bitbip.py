@@ -96,6 +96,51 @@ def test_bitbip_gradients_match_coo():
                                rtol=3e-2, atol=5e-3)
 
 
+def test_multi_tile_grid_accumulation():
+    """Exercise the 2-D grid paths directly: >1 row tile (bottom-direction
+    scratch accumulation across r) and >1 column tile (top-direction block
+    accumulation across c, per-tile operand permutation)."""
+    from recommendar_systems_tpu.ops import bitbip
+
+    rng = np.random.default_rng(11)
+    U, I, d = 512, 10_000, 8
+    ip = bitbip.pad_cols(I)
+    assert ip // (32 * bitbip.KC) == 2  # two column tiles
+    m01 = np.zeros((U, ip), np.int8)
+    mask = rng.random((U, I)) < 0.01
+    m01[:, :I] = mask
+    packed = jnp.asarray(bitbip.pack_bits(m01))
+    kw = ip // 32
+    xu = jnp.asarray(rng.standard_normal((U, d)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((ip, d)), jnp.float32)
+
+    bitbip.set_block_u(256)  # forces two row tiles
+    try:
+        top, bot_p = bitbip.bit_dual_matmul(
+            packed, xu, bitbip.perm_cols(xi.astype(jnp.bfloat16), kw)
+        )
+        top1 = bitbip.bit_matmul(
+            packed, bitbip.perm_cols(xi.astype(jnp.bfloat16), kw)
+        )
+        bot1_p = bitbip.bit_matmul_t(packed, xu)
+    finally:
+        bitbip.set_block_u(None)
+    bot = bitbip.unperm_cols(bot_p, kw)
+    bot1 = bitbip.unperm_cols(bot1_p, kw)
+
+    # reference uses the same bf16-rounded operands as the kernel so the
+    # comparison only sees accumulation-order noise
+    a = m01.astype(np.float32)
+    xi_r = np.asarray(xi.astype(jnp.bfloat16), np.float32)
+    xu_r = np.asarray(xu.astype(jnp.bfloat16), np.float32)
+    want_top = a @ xi_r
+    want_bot = a.T @ xu_r
+    np.testing.assert_allclose(np.asarray(top), want_top, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(bot), want_bot, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(top1), want_top, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(bot1), want_bot, rtol=2e-2, atol=2e-2)
+
+
 def test_duplicate_edges_fall_back_to_int8():
     u = np.array([0, 0, 1], dtype=np.int64)
     i = np.array([1, 1, 2], dtype=np.int64)
