@@ -59,6 +59,11 @@ def main() -> None:
         help="generate the dataset without modality features (id-only "
              "models at large scale; saves ~1.1 GB HBM at elec size)",
     )
+    p.add_argument(
+        "--config", nargs="*", default=[], metavar="K=V",
+        help="extra config overrides (YAML-parsed values), e.g. "
+             "n_layers=2 use_branch_norm=false",
+    )
     args = p.parse_args()
 
     import jax
@@ -94,7 +99,8 @@ def main() -> None:
               + (["--bf16"] if args.bf16 else []) \
               + (["--no-fused"] if args.no_fused else []) \
               + (["--ui-mode", args.ui_mode] if args.ui_mode else []) \
-              + (["--bit-adj", args.bit_adj] if args.bit_adj else [])
+              + (["--bit-adj", args.bit_adj] if args.bit_adj else []) \
+              + (["--config"] + args.config if args.config else [])
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=budget,
@@ -121,6 +127,12 @@ def _run_one(args, model_name: str) -> None:
     from recommendar_systems_tpu.train.trainer import Trainer
     from recommendar_systems_tpu.utils.configurator import Config
 
+    extra = {}
+    for kv in args.config:
+        import yaml
+
+        k, _, v = kv.partition("=")
+        extra[k] = yaml.safe_load(v)
     cfg = Config(
         model_name,
         "synthetic",
@@ -130,6 +142,7 @@ def _run_one(args, model_name: str) -> None:
             "eval_batch_size": 4096,
             "topk": [5, 10, 20, 50],
             "seed": [0],
+            **extra,
         },
     )
     if args.bf16:

@@ -52,8 +52,13 @@ class LightGCNCLIP(RecModel):
             "item_emb", xavier_uniform, (self.n_items, self.embedding_size)
         )
         self.all_trs = Dense(self.feat_embed_dim, name="all_trs")
+        # shape (1,) not (): a 0-d param in the scanned-epoch carry hits a
+        # pathological path on the axon backend (~290 ms/step regardless of
+        # model size; measured 20.6 s -> sub-second epochs with this change)
         self.res_alpha = self.param(
-            "res_alpha", lambda k, s: jnp.asarray(self.res_alpha_init), ()
+            "res_alpha",
+            lambda k, s: jnp.full((1,), self.res_alpha_init, jnp.float32),
+            (1,),
         )
         if self.modal_drop_rate > 0:
             self.mod_drop = nn.Dropout(rate=self.modal_drop_rate)

@@ -61,8 +61,10 @@ class SMOREDiffX(SMOREDiff):
             self.softR_ema_var = self.variable(
                 "state", "softR_ema", jnp.zeros, (self.r_nnz,)
             )
+            # shape (1,) not (): 0-d leaves in the scanned-epoch carry hit a
+            # pathological path on the axon backend (see lightgcnclip.py)
             self.softR_ema_init = self.variable(
-                "state", "softR_ema_init", lambda: jnp.zeros((), jnp.bool_)
+                "state", "softR_ema_init", lambda: jnp.zeros((1,), jnp.bool_)
             )
 
     # ---------------- DSP denoiser (`smorediffx.py:71-140`) ----------------
@@ -145,7 +147,7 @@ class SMOREDiffX(SMOREDiff):
             )
             if train and not self.is_initializing():
                 self.softR_ema_var.value = jax.lax.stop_gradient(new_ema)
-                self.softR_ema_init.value = jnp.ones((), jnp.bool_)
+                self.softR_ema_init.value = jnp.ones((1,), jnp.bool_)
             vals = new_ema
         return R.with_values(vals)
 
