@@ -714,6 +714,18 @@ def set_spmm_dtype(dtype) -> None:
     _SPMM_DTYPE = dtype
 
 
+# Peak-memory cap for the [nnz, d] gathered intermediate of a COO SpMM.
+# Past it, the edge list is processed in fixed-size chunks under lax.scan —
+# same total work, peak memory = one chunk (a 33M-edge gather at d=64 is
+# 8.6 GB and exhausts HBM at ml-20m scale; chunking makes nnz unbounded).
+_COO_CHUNK_BYTES = 1 << 30
+
+
+def set_coo_chunk_bytes(n: int) -> None:
+    global _COO_CHUNK_BYTES
+    _COO_CHUNK_BYTES = int(n)
+
+
 def spmm_coo(adj: COO, x: jnp.ndarray, sorted_rows: bool = True) -> jnp.ndarray:
     """``adj @ x`` for a row-sorted COO adjacency.
 
@@ -724,6 +736,30 @@ def spmm_coo(adj: COO, x: jnp.ndarray, sorted_rows: bool = True) -> jnp.ndarray:
     if _SPMM_DTYPE is not None:
         x = x.astype(_SPMM_DTYPE)
         vals = vals.astype(_SPMM_DTYPE)
+    nnz, d = adj.rows.shape[0], x.shape[1]
+    chunk = max(1, _COO_CHUNK_BYTES // max(4 * d, 1))
+    if nnz > chunk:
+        n_chunks = -(-nnz // chunk)
+        pad = n_chunks * chunk - nnz
+        # zero-valued padding edges pointing at row/col 0 are inert
+        rows = jnp.concatenate([adj.rows, jnp.zeros((pad,), adj.rows.dtype)])
+        cols = jnp.concatenate([adj.cols, jnp.zeros((pad,), adj.cols.dtype)])
+        vpad = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+
+        def body(acc, ch):
+            r, c, v = ch
+            g = (x[c] * v[:, None]).astype(out_dtype)
+            return acc + jax.ops.segment_sum(
+                g, r, num_segments=adj.n_rows, indices_are_sorted=sorted_rows
+            ), ()
+
+        acc0 = jnp.zeros((adj.n_rows, d), out_dtype)
+        out, _ = jax.lax.scan(
+            body, acc0,
+            (rows.reshape(n_chunks, chunk), cols.reshape(n_chunks, chunk),
+             vpad.reshape(n_chunks, chunk)),
+        )
+        return out
     gathered = (x[adj.cols] * vals[:, None]).astype(out_dtype)
     return jax.ops.segment_sum(
         gathered,

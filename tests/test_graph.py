@@ -51,6 +51,26 @@ def test_spmm_coo_matches_dense():
     np.testing.assert_allclose(got, dense @ x, atol=1e-4)
 
 
+def test_spmm_coo_chunked_matches_unchunked():
+    """Edge-chunked scan path (peak-memory cap for huge nnz) is exact."""
+    from recommendar_systems_tpu.graph.sparse import set_coo_chunk_bytes
+
+    rng = np.random.default_rng(4)
+    n_users, n_items = 30, 25
+    u = rng.integers(0, n_users, 300)
+    i = rng.integers(0, n_items, 300)
+    pairs = np.unique(np.stack([u, i], 1), axis=0)
+    adj = build_norm_adj(pairs[:, 0], pairs[:, 1], n_users, n_items, dense=False)
+    x = jnp.asarray(rng.normal(size=(n_users + n_items, 8)).astype(np.float32))
+    want = np.asarray(spmm_coo(adj, x))
+    set_coo_chunk_bytes(8 * 4 * 64)  # 64-edge chunks, forces padding too
+    try:
+        got = np.asarray(spmm_coo(adj, x))
+    finally:
+        set_coo_chunk_bytes(1 << 30)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_spmm_ell_matches_dense():
     rng = np.random.default_rng(2)
     n, k, d = 12, 4, 6
