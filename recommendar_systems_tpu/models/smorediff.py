@@ -222,20 +222,42 @@ class SMOREDiff(SMOREX):
 
     @classmethod
     def build_ctx(cls, config, data):
+        import os
+
+        from recommendar_systems_tpu.graph.build import build_norm_ui
+        from recommendar_systems_tpu.graph.knn import build_knn_ell
+        from recommendar_systems_tpu.graph.sparse import ell_union_max
         from recommendar_systems_tpu.models.smore import SMORE as _S
 
-        # SMOREDiff addresses R's edge slots (soft-R rescaling) and the
-        # fusion graph's neighbor lists (hard-negative pools) -> keep sparse
-        ctx = _S.build_ctx(config, data, dense=False)
+        # Only R must stay COO (the soft-R rescaling addresses its edge
+        # slots per step); the symmetric norm_adj and the kNN modality
+        # graphs carry no per-edge state and ride the dense MXU path like
+        # every other SMORE variant (45k -> see matrix for measured gain).
+        ctx = _S.build_ctx(config, data)
+        ctx["R"] = build_norm_ui(
+            data.train_users_np, data.train_items_np, data.n_users,
+            data.n_items, dense=False,
+        )
+        # the hard-negative pools below need ELL neighbor LISTS; rebuild the
+        # fusion union in forced-ELL form (the kNN disk cache stores ELL, so
+        # this re-read is cheap) while ctx keeps the dense propagation form
+        image_k = int(cfg_scalar(config, "image_knn_k", 20))
+        text_k = int(cfg_scalar(config, "text_knn_k", 15))
+        cache_dir = os.path.join(str(config["data_path"]), str(config["dataset"]))
+        ell_fusion = ell_union_max(
+            build_knn_ell(data.v_feat, image_k, cache_dir=cache_dir,
+                          cache_key="image", dense=False),
+            build_knn_ell(data.t_feat, text_k, cache_dir=cache_dir,
+                          cache_key="text", dense=False),
+        )
         # host-precomputed hard negatives per train edge (`smorediff.py:155-177,
         # 188-205`): user candidate pool = fusion-kNN neighbors of the user's
         # positives minus positives; fall back to the positive's own kNN then
         # random
         K = int(cfg_scalar(config, "edge_nce_k", 5))
         L0 = int(cfg_scalar(config, "edge_user_pool_L0", 50))
-        fusion = ctx["fusion_adj"]
-        knn = np.asarray(fusion.idx)  # [I, 2k] neighbor ids sorted by col
-        knn_val = np.asarray(fusion.val)
+        knn = np.asarray(ell_fusion.idx)  # [I, 2k] neighbor ids sorted by col
+        knn_val = np.asarray(ell_fusion.val)
         # order each row's neighbors by weight desc (reference sorts by weight)
         order = np.argsort(-knn_val, axis=1)
         knn_sorted = np.take_along_axis(knn, order, axis=1)
