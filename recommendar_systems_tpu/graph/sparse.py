@@ -344,6 +344,27 @@ def ui_view(adj) -> "DenseUI | BitUI | None":
                    adj.row_scale, adj.col_scale)
 
 
+def raw_ui_view(adj) -> "DenseUI | BitUI | None":
+    """Alias a factored adjacency's u-i COUNT block as the RAW interaction
+    matrix R (values = interaction counts, no normalization) — same HBM
+    buffers, no scales.  LGMRec's MGE lift is ``R_raw @ item_feats / deg``
+    (reference `lgmrec.py:103-113`); 5-core data is deduplicated so counts
+    are exactly the reference's 0/1 entries.  None when not factored."""
+    if isinstance(adj, BitBip):
+        if adj.row_norm:
+            return None
+        ones_r = jnp.ones_like(adj.row_scale)
+        ones_c = jnp.ones_like(adj.col_scale)
+        return BitUI(adj.bits, adj.dims, ones_r, ones_c)
+    if not isinstance(adj, DenseBip):
+        return None
+    if (adj.iu is not None or adj.row_scale is None
+            or adj.diag is not None or adj.row_norm):
+        return None
+    return DenseUI(adj.ur, adj.dims or tuple(map(int, adj.ur.shape)),
+                   None, None)
+
+
 def spmm_denseui(adj: DenseUI, x: jnp.ndarray) -> jnp.ndarray:
     """R-hat @ x for [I, d] item stacks -> [U, d] user lift."""
     u, i = adj.n_rows, adj.n_cols
