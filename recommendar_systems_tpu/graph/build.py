@@ -97,7 +97,6 @@ def build_norm_adj(
     if (
         dense is not False
         and (factored is None or factored)
-        and fused_bip_enabled()
         and use_bit_adj(n_users, n_items)
     ):
         # bit-packed storage reaches past the f32 densify threshold (the
@@ -220,11 +219,7 @@ def build_mean_adj(
     with np.errstate(divide="ignore"):
         d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
-    if (
-        dense is not False
-        and fused_bip_enabled()
-        and use_bit_adj(n_users, n_items)
-    ):
+    if dense is not False and use_bit_adj(n_users, n_items):
         packed = _pack_from_edges(u, i, n_users, n_items)
         if packed is not None:
             from recommendar_systems_tpu.ops.bitbip import pad_cols

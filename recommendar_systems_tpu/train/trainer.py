@@ -152,7 +152,13 @@ class Trainer:
         self.best_valid_result: Dict[str, float] = {}
         self.best_test_upon_valid: Dict[str, float] = {}
 
+        # cap on scan steps per device dispatch (0 = whole epoch in one);
+        # large-scale runs over the axon tunnel need dispatches under ~1 min
+        self.steps_per_dispatch = int(config.get("steps_per_dispatch") or 0)
         self._train_epoch_jit = jax.jit(self._train_epoch_impl, donate_argnums=(0, 1))
+        self._train_chunk_jit = jax.jit(
+            self._scan_steps_impl, donate_argnums=(0, 1)
+        )
         self._eval_batch_jit = jax.jit(self._eval_batch_impl)
         self._eval_embeddings_jit = jax.jit(self._eval_embeddings_impl)
         self._eval_from_emb_jit = jax.jit(self._eval_from_emb_impl)
@@ -260,22 +266,34 @@ class Trainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_state, total, parts
 
-    def _train_epoch_impl(self, params, opt_state, net_state, ctx, arrays, rng):
-        data = self.data
+    def _epoch_xs(self, k_perm):
+        """Permutation batches + padding weights + step ids for one epoch."""
         B = self.batch_size
         n_steps = self.n_steps
         n = self.n_samples
-
-        k_perm, k_scan = jax.random.split(rng)
         perm = jax.random.permutation(k_perm, n)
         pad = n_steps * B - n
         perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
         weight_flat = jnp.concatenate(
             [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
         )
-        perm = perm.reshape(n_steps, B)
-        weight = weight_flat.reshape(n_steps, B)
-        step_ids = jnp.arange(n_steps)
+        return (perm.reshape(n_steps, B), weight_flat.reshape(n_steps, B),
+                jnp.arange(n_steps))
+
+    def _train_epoch_impl(self, params, opt_state, net_state, ctx, arrays, rng):
+        k_perm, k_scan = jax.random.split(rng)
+        xs = self._epoch_xs(k_perm)
+        return self._scan_steps_impl(
+            params, opt_state, net_state, ctx, arrays, xs, k_scan
+        )
+
+    def _scan_steps_impl(self, params, opt_state, net_state, ctx, arrays, xs,
+                         rng):
+        """Scan the training step over ``xs = (perm, weight, step_ids)`` —
+        the whole epoch in the default path, or one chunk of it when
+        ``steps_per_dispatch`` caps the single-dispatch length (the axon
+        tunnel kills dispatches past ~1 min; see PARITY.md elec notes)."""
+        data = self.data
 
         def step(carry, xs):
             params, opt_state, net_state, rng = carry
@@ -394,11 +412,35 @@ class Trainer:
             return (params, opt_state, net_state, rng), (total, parts)
 
         (params, opt_state, net_state_out, _), (totals, parts) = jax.lax.scan(
-            step,
-            (params, opt_state, net_state, k_scan),
-            (perm, weight, step_ids),
+            step, (params, opt_state, net_state, rng), xs,
         )
         return params, opt_state, net_state_out, totals, parts
+
+    def _train_epoch_chunked(self, params, opt_state, net_state, ctx, arrays,
+                             rng):
+        """Host-driven epoch in ``steps_per_dispatch``-step dispatches.
+        Dispatches queue asynchronously (no host sync between chunks), so
+        throughput matches the single-dispatch path; only the per-dispatch
+        runtime is bounded.  Chunk RNG folds differently than the scanned
+        carry, which is a different-but-equally-valid sample stream."""
+        M = self.steps_per_dispatch
+        k_perm, k_scan = jax.random.split(rng)
+        perm, weight, step_ids = self._epoch_xs(k_perm)
+        totals_l, parts_l = [], []
+        for s0 in range(0, self.n_steps, M):
+            sl = slice(s0, min(s0 + M, self.n_steps))
+            k_scan, k_c = jax.random.split(k_scan)
+            params, opt_state, net_state, t, p = self._train_chunk_jit(
+                params, opt_state, net_state, ctx, arrays,
+                (perm[sl], weight[sl], step_ids[sl]), k_c,
+            )
+            totals_l.append(t)
+            parts_l.append(p)
+        totals = jnp.concatenate(totals_l)
+        parts = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *parts_l
+        )
+        return params, opt_state, net_state, totals, parts
 
     # ------------------------------------------------------------- jitted eval
     def _mask_and_topk(self, scores, mask_rows, mask_items):
@@ -547,9 +589,14 @@ class Trainer:
                     self._epoch_key, k_pre = jax.random.split(self._epoch_key)
                     self.ctx = self._pre_epoch_jit(self.ctx, k_pre)
                 self._epoch_key, k_ep = jax.random.split(self._epoch_key)
+                epoch_fn = (
+                    self._train_epoch_chunked
+                    if 0 < self.steps_per_dispatch < self.n_steps
+                    else self._train_epoch_jit
+                )
                 (
                     self.params, self.opt_state, self.net_state, totals, parts
-                ) = self._train_epoch_jit(
+                ) = epoch_fn(
                     self.params, self.opt_state, self.net_state, self.ctx,
                     self._data_arrays(), k_ep
                 )
