@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--batch-size", type=int, default=1_048_576)
     ap.add_argument("--bit-adj", default=None, choices=["true", "false", "auto"])
+    ap.add_argument("--steps-per-dispatch", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -55,6 +56,7 @@ def main() -> None:
             "topk": [10, 20],
             "seed": [0],
             "stopping_step": args.epochs,  # no early stop: show the curve
+            "steps_per_dispatch": args.steps_per_dispatch,
         },
     )
     for ax in cfg["hyper_parameters"]:
