@@ -706,7 +706,15 @@ def ell_union_max(a: ELL, b: ELL) -> ELL:
     each row, fold adjacent duplicates with max, zero the second copy.
     """
     if isinstance(a, DenseMat) and isinstance(b, DenseMat):
-        return DenseMat(jnp.maximum(a.mat, b.mat))
+        # missing edges are 0 in the dense block but must behave as -inf in
+        # the union-max (`smore.py:165-170`): a pattern-exclusive NEGATIVE
+        # edge value (cosine sims can be negative) must survive, not be
+        # clipped to 0 by max(v, 0)
+        a_on = a.mat != 0
+        b_on = b.mat != 0
+        av = jnp.where(a_on, a.mat, -jnp.inf)
+        bv = jnp.where(b_on, b.mat, -jnp.inf)
+        return DenseMat(jnp.where(a_on | b_on, jnp.maximum(av, bv), 0.0))
     idx = jnp.concatenate([a.idx, b.idx], axis=1)
     val = jnp.concatenate([a.val, b.val], axis=1)
     order = jnp.argsort(idx, axis=1, stable=True)

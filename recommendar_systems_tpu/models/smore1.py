@@ -147,9 +147,11 @@ class SMORE1(SMORE):
             cl_loss=float(_s(config["cl_loss"])),
             cl_temp=float(cfg_scalar(config, "cl_temp", 0.2)),
             dropout_rate=float(cfg_scalar(config, "dropout_rate", 0.1)),
-            # SMORE1 keeps the original-paper defaults
-            inject_mode=str(config.get("inject_mode") or "mul"),
-            spectral_weight_norm=bool(config.get("spectral_weight_norm") or False),
+            # the reference smore1 ignores inject/norm config keys entirely:
+            # always 'mul' injection, never unit-magnitude normalization
+            # (`smore1.py:203-247` has no config.get for either)
+            inject_mode="mul",
+            spectral_weight_norm=False,
             batch_size=int(config["train_batch_size"]),
             has_v=data.v_feat is not None,
             has_t=data.t_feat is not None,

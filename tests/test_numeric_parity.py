@@ -298,10 +298,14 @@ def test_bm3_loss_parity(ref_modules, tmp_path):
         rngs={"dropout": jax.random.key(0)},
     )
     assert abs(float(total) - ref_loss) < 1e-4, (float(total), ref_loss)
+
+
+def test_freedom_loss_parity(ref_modules, tmp_path):
     """FREEDOM: frozen mm kNN graph + LightGCN + modality-BPR regularizers.
 
-    (Several reference models — GRCN/LATTICE/MENTOR/MGCN/SMORE* — hard-code
-    ``.cuda()`` and cannot run in this CPU-only image at all; FREEDOM can.)
+    (Models that hard-code ``.cuda()`` — GRCN/LATTICE/MENTOR/MGCN/SMORE* —
+    are covered by the `test_parity_*` files via `ref_compat`'s identity
+    patch; FREEDOM runs unpatched.)
     """
     import importlib
 
