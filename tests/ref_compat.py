@@ -261,6 +261,16 @@ def install_ref_shims():
     # identity-patch so the unmodified code runs on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    # the reference targets scipy 1.7.3 whose dok_matrix had a private
+    # `_update` bulk setter (used by `lgmrec.py:76`, `mmgcn`-family
+    # `get_norm_adj_mat`); restore it on modern scipy
+    import scipy.sparse as _sp
+
+    if not hasattr(_sp.dok_matrix, "_update"):
+        def _dok_update(self, data):
+            self._dict.update(data)
+
+        _sp.dok_matrix._update = _dok_update
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
     _installed = True
@@ -438,7 +448,8 @@ def our_model_and_ctx(model_name, data, config_overrides, dense=None):
     return model, ctx, bundle, cfg
 
 
-def our_loss_value(model, ctx, params, bu, bp, bn=None, weight=None, rngs=None):
+def our_loss_value(model, ctx, params, bu, bp, bn=None, weight=None, rngs=None,
+                   extra_vars=None):
     import jax
     import jax.numpy as jnp
 
@@ -449,8 +460,18 @@ def our_loss_value(model, ctx, params, bu, bp, bn=None, weight=None, rngs=None):
     }
     if bn is not None:
         batch["neg_items"] = jnp.asarray(bn, dtype=jnp.int32)
-    total, parts = model.apply(
-        {"params": params}, ctx, batch, True, method="loss",
-        rngs=rngs or {"dropout": jax.random.key(0)},
+    variables = {"params": params}
+    mutable = False
+    if extra_vars:
+        variables.update(extra_vars)
+        mutable = list(extra_vars.keys())
+    out = model.apply(
+        variables, ctx, batch, True, method="loss",
+        rngs=rngs or {"dropout": jax.random.key(0), "sample": jax.random.key(2)},
+        mutable=mutable,
     )
+    if mutable:
+        (total, parts), _ = out
+    else:
+        total, parts = out
     return float(total), parts
