@@ -128,8 +128,12 @@ class DualGNN(RecModel):
             rep = t_rep if rep is None else rep + t_rep
 
         if self.has_v and self.has_t:
+            # the reference's `representation = self.v_rep` then
+            # `representation += self.t_rep` mutates v_rep IN PLACE
+            # (`dualgnn.py:147-155`), so its executed user blend mixes
+            # (v+t) with t — reproduced here for exact parity
             stacked = jnp.stack(
-                [v_rep[: self.n_users], t_rep[: self.n_users]], axis=2
+                [rep[: self.n_users], t_rep[: self.n_users]], axis=2
             )  # [U, d, 2]
             user_rep = jnp.einsum("udm,umo->ud", stacked, self.weight_u)
         else:

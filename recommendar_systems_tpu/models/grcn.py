@@ -357,22 +357,33 @@ class GRCN(RecModel):
         return rep, prefs
 
     def loss(self, ctx, batch, train: bool = True):
-        out, prefs = self.representation(ctx)
+        out, _ = self.representation(ctx)
         users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
         w = batch.get("weight")
         u = out[users]
         pos_s = jnp.sum(u * out[pos + self.n_users], 1)
         neg_s = jnp.sum(u * out[neg + self.n_users], 1)
         mf = _wmean(-jnp.log(jax.nn.sigmoid(pos_s - neg_s)), w)
-        gathered = jnp.concatenate([users, pos + self.n_users, neg + self.n_users])
-        reg_emb = jnp.mean(self.id_embedding[gathered] ** 2)
+
+        def row_msq(e):
+            return jnp.mean(e * e, axis=1)
+
+        # `grcn.py:314`: (id[user_rep2]^2 + id[items]^2).mean() over [2B, d]
+        # == mean_B(u^2) + (mean_B(p^2) + mean_B(n^2)) / 2; the preference
+        # regularizers use the RAW parameter tables (`grcn.py:316,320,324`),
+        # not the routed preferences
+        ids = self.id_embedding
+        reg_emb = _wmean(row_msq(ids[users]), w) + 0.5 * (
+            _wmean(row_msq(ids[pos + self.n_users]), w)
+            + _wmean(row_msq(ids[neg + self.n_users]), w)
+        )
         if self.has_v:
-            reg_emb = reg_emb + jnp.mean(prefs["v"] ** 2)
+            reg_emb = reg_emb + jnp.mean(self.v_pref**2)
         reg_content = 0.0
         if self.has_v:
-            reg_content = reg_content + jnp.mean(prefs["v"][users] ** 2)
+            reg_content = reg_content + _wmean(row_msq(self.v_pref[users]), w)
         if self.has_t:
-            reg_content = reg_content + jnp.mean(prefs["t"][users] ** 2)
+            reg_content = reg_content + _wmean(row_msq(self.t_pref[users]), w)
         reg = self.reg_weight * (reg_emb + reg_content)
         total = mf + reg
         return total, {"mf_loss": mf, "reg_loss": reg}

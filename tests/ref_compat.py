@@ -411,9 +411,12 @@ def make_batch(data, batch=5, seed=1):
 
 
 def ref_loss_value(ref, bu, bp, bn=None):
-    ts = [torch.from_numpy(bu).long(), torch.from_numpy(bp).long()]
+    # copy: some reference forwards mutate the interaction in place
+    # (`mentor.py:226-228` does `pos_item_nodes += self.n_users`), and
+    # `torch.from_numpy` shares memory with the numpy batch we reuse
+    ts = [torch.from_numpy(bu.copy()).long(), torch.from_numpy(bp.copy()).long()]
     if bn is not None:
-        ts.append(torch.from_numpy(bn).long())
+        ts.append(torch.from_numpy(bn.copy()).long())
     out = ref.calculate_loss(ts)
     if isinstance(out, tuple):
         out = sum(o for o in out if torch.is_tensor(o))

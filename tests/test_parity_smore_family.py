@@ -152,6 +152,32 @@ def test_smorex_loss_parity(tmp_path, spec_method):
     )
 
 
+_SMOREMG_GATE = {
+    ("item_freq_gate", "kernel"): ("item_freq_gate.0.weight", "T"),
+    ("item_freq_gate", "bias"): "item_freq_gate.0.bias",
+}
+
+
+def test_smoremg_loss_parity(tmp_path):
+    """SMOREMG: item-aware band gate + freq residual injection + low-band
+    consistency loss (`smoremg.py:190-223,235-243,319-331,345-369`).
+    MG stochastic consistency stays 0 under eval/no-dropout on both sides."""
+    extra = {"use_freq_residual": True, "freq_residual_alpha": 0.25,
+             "low_freq_ratio": 0.3, "freq_consistency_weight": 0.05,
+             "mg_consistency_weight": 0.0}
+    _run_smore_like(tmp_path, "smoremg", "SMOREMG",
+                    {**extra, "model": "SMOREMG"}, extra,
+                    mapping_extra=_SMOREMG_GATE, seed=8)
+
+
+def test_smoremg_loss_parity_mul_fallback(tmp_path):
+    """SMOREMG multiplicative fallback branch (`smoremg.py:239-243`)."""
+    extra = {"use_freq_residual": False, "freq_consistency_weight": 0.0}
+    _run_smore_like(tmp_path, "smoremg", "SMOREMG",
+                    {**extra, "model": "SMOREMG"}, extra,
+                    mapping_extra=_SMOREMG_GATE, seed=9)
+
+
 def test_smorex_loss_parity_softthr(tmp_path):
     """SMOREX DWT soft-threshold branch (`smorex.py:168-172`)."""
     _run_smore_like(
