@@ -545,9 +545,17 @@ def spmm_bitbip(adj: BitBip, x: jnp.ndarray) -> jnp.ndarray:
     if not adj.row_norm:
         xu = xu * adj.row_scale[:, None]
         xi = xi * adj.col_scale[:, None]
-    top, bot_p = bit_dual_matmul(
-        adj.bits, xu, perm_cols(xi.astype(jnp.bfloat16), adj.k_words)
+    from recommendar_systems_tpu.ops.bitbip import (
+        bit_dual_matmul_sharded, bit_shardable,
     )
+    from recommendar_systems_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    xi_p = perm_cols(xi.astype(jnp.bfloat16), adj.k_words)
+    if mesh is not None and bit_shardable(int(adj.bits.shape[0]), mesh):
+        top, bot_p = bit_dual_matmul_sharded(adj.bits, xu, xi_p, mesh)
+    else:
+        top, bot_p = bit_dual_matmul(adj.bits, xu, xi_p)
     bot = unperm_cols(bot_p, adj.k_words)
     top = top * adj.row_scale[:, None]
     bot = bot * adj.col_scale[:, None]
@@ -672,9 +680,18 @@ def spmm_densebip(adj: DenseBip, x: jnp.ndarray) -> jnp.ndarray:
         xu = xu * adj.row_scale[:, None]
         xi = xi * adj.col_scale[:, None]
     if _use_fused_kernel(adj, int(x.shape[1])):
-        from recommendar_systems_tpu.ops.fused_bip import fused_bip_matmul
+        from recommendar_systems_tpu.ops.fused_bip import (
+            fused_bip_matmul,
+            fused_bip_matmul_sharded,
+            shardable,
+        )
+        from recommendar_systems_tpu.parallel.mesh import active_mesh
 
-        top, bot = fused_bip_matmul(adj.ur, xu, xi)
+        mesh = active_mesh()
+        if mesh is not None and shardable(int(adj.ur.shape[0]), mesh):
+            top, bot = fused_bip_matmul_sharded(adj.ur, xu, xi, mesh)
+        else:
+            top, bot = fused_bip_matmul(adj.ur, xu, xi)
     else:
         m = adj.ur
         if m.dtype == jnp.int8:

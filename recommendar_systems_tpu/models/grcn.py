@@ -29,7 +29,7 @@ from flax import linen as nn
 from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
 from recommendar_systems_tpu.models.layers import Dense, l2_normalize, xavier_normal
 from recommendar_systems_tpu.models.losses import _wmean
-from recommendar_systems_tpu.ops.masked_attn import masked_attention
+from recommendar_systems_tpu.ops.masked_attn import masked_attention_auto
 from recommendar_systems_tpu.ops.seg import scatter_weighted_sum, segment_softmax
 
 
@@ -126,7 +126,7 @@ class GRCN(RecModel):
         # over the mask and no [U, I] materialization
         for _ in range(self.num_routing):
             if padded:
-                upd = masked_attention(pref, features, mask)
+                upd = masked_attention_auto(pref, features, mask)
             else:
                 upd, _ = self._gat_dense(pref, features, mask)
             pref = pref + upd
@@ -454,7 +454,14 @@ class GRCN(RecModel):
                 ctx["dims_pad"] = (data.n_users, data.n_items)
                 from recommendar_systems_tpu.ops import grcn_fused
 
-                if grcn_fused.fits_vmem(up, ip, c, d):
+                under_mesh = bool(
+                    config.get("mesh_shape")
+                    or config.get("shard_embedding_tables")
+                )
+                # the dual-direction mega-kernel has no sharded form yet;
+                # under a mesh GRCN keeps the (sharded) masked-attention
+                # routing and GSPMD-partitioned dense towers
+                if grcn_fused.fits_vmem(up, ip, c, d) and not under_mesh:
                     ctx["fused_egcn"] = True
             # edge multiplicity counts stored int8 (exact; counts are tiny)
             # — a quarter of the f32 HBM bytes on every masked-softmax pass

@@ -170,6 +170,33 @@ def _dual_bwd(packed, cots):
 bit_dual_matmul.defvjp(_dual_fwd, _dual_bwd)
 
 
+def bit_dual_matmul_sharded(packed, xu, xi_perm, mesh):
+    """Row-sharded ``bit_dual_matmul`` over the mesh's 'model' axis: each
+    device unpacks ITS bit-plane rows (top slice local; the A.T direction's
+    partial completes with one psum over ICI).  Same pattern as
+    ops/fused_bip.py::fused_bip_matmul_sharded — pallas_calls are opaque to
+    GSPMD, so the partition is explicit."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(p_l, xu_l, xi_l):
+        top_l, bot_l = bit_dual_matmul(p_l, xu_l, xi_l)
+        return top_l, jax.lax.psum(bot_l, "model")
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model", None), P(None, None)),
+        out_specs=(P("model", None), P(None, None)),
+        check_vma=False,
+    )(packed, xu, xi_perm)
+
+
+def bit_shardable(U: int, mesh) -> bool:
+    """Rows split evenly and each shard still tiles (min block_u is 8)."""
+    m = int(mesh.shape.get("model", 1)) if mesh is not None else 1
+    return m > 1 and U % (m * 8) == 0
+
+
 # ---------------------------------------------------------------------------
 # single-direction kernels (DenseUI-style R lifts)
 # ---------------------------------------------------------------------------

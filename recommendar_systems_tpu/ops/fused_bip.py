@@ -176,6 +176,35 @@ def _bwd(a, cotangents):
 fused_bip_matmul.defvjp(_fwd, _bwd)
 
 
+def fused_bip_matmul_sharded(a, xu, xi, mesh):
+    """Row-sharded ``fused_bip_matmul`` over the mesh's 'model' axis.
+
+    A pallas_call is opaque to GSPMD (sharded operands would be all-gathered
+    at the kernel boundary), so the row partition is made explicit: each
+    device streams ITS rows of A once, computing its slice of ``top`` and a
+    partial ``bot`` that one psum over ICI completes.  Gradients ride
+    shard_map's transpose rules (d_xi gathers the same psum)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(a_l, xu_l, xi_l):
+        top_l, bot_l = fused_bip_matmul(a_l, xu_l, xi_l)
+        return top_l, jax.lax.psum(bot_l, "model")
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model", None), P(None, None)),
+        out_specs=(P("model", None), P(None, None)),
+        check_vma=False,
+    )(a, xu, xi)
+
+
+def shardable(U: int, mesh) -> bool:
+    """Rows split evenly and each shard still tiles (min block_u is 8)."""
+    m = int(mesh.shape.get("model", 1)) if mesh is not None else 1
+    return m > 1 and U % (m * 8) == 0
+
+
 def fits_vmem(n_items_padded: int, d: int) -> bool:
     """True when the fixed [I, d] buffers plus a minimal row tile fit the
     VMEM budget (same model as ``_pick_block_u``)."""

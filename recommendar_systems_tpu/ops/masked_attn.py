@@ -248,3 +248,26 @@ def _vjp_bwd(res, g):
 
 
 masked_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def masked_attention_auto(q, k, mask):
+    """``masked_attention`` that row-shards itself over the active mesh's
+    'model' axis (q and mask rows split; k replicated; d_k completed by
+    shard_map's transpose psum).  Falls back to the single-device kernel
+    when no mesh is active or the rows don't split evenly."""
+    from recommendar_systems_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    m = int(mesh.shape.get("model", 1)) if mesh is not None else 1
+    U = int(mask.shape[0])
+    if mesh is None or m <= 1 or U % (m * 8) != 0:
+        return masked_attention(q, k, mask)
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        masked_attention,
+        mesh=mesh,
+        in_specs=(P("model", None), P(None, None), P("model", None)),
+        out_specs=P("model", None),
+        check_vma=False,
+    )(q, k, mask)

@@ -22,6 +22,47 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# The process-wide mesh the training session runs under (None = single
+# device).  Kernel dispatchers (graph/sparse.py, ops/fused_bip.py,
+# ops/masked_attn.py) consult this to wrap their Pallas calls in shard_map —
+# a pallas_call is an opaque custom call GSPMD cannot partition, so without
+# the wrapper a sharded operand would be all-gathered at the kernel boundary.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+def model_axis_size(mesh: Optional[Mesh] = None) -> int:
+    mesh = mesh if mesh is not None else _ACTIVE_MESH
+    return int(mesh.shape.get("model", 1)) if mesh is not None else 1
+
+
+def collect_table_dims(tree, base_dims: Sequence[int]) -> list:
+    """Base node counts plus the PADDED storage row counts of any dense /
+    bit-packed adjacency blocks in ``tree`` (tile-padded fused layouts store
+    [Up, Ip] with Up != n_users, which the plain dim match would miss)."""
+    dims = set(int(d) for d in base_dims)
+    try:
+        from recommendar_systems_tpu.graph.sparse import BitBip, DenseBip
+    except ImportError:  # pragma: no cover
+        return sorted(dims)
+    for node in jax.tree_util.tree_leaves(
+        tree, is_leaf=lambda n: isinstance(n, (DenseBip, BitBip))
+    ):
+        if isinstance(node, DenseBip):
+            dims.add(int(node.ur.shape[0]))
+        elif isinstance(node, BitBip):
+            dims.add(int(node.bits.shape[0]))
+    return sorted(dims)
+
+
 def make_mesh(
     mesh_shape: Optional[Sequence[int]] = None,
     axis_names: Sequence[str] = ("data", "model"),
@@ -58,8 +99,11 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_params(params, mesh: Mesh, table_dims: Sequence[int], shard_tables: bool = True):
     """Place parameters on the mesh: 2D tables whose leading dim matches a
-    user/item/node count are row-sharded over 'model' (when enabled and the
-    rows divide), everything else is replicated."""
+    user/item/node count are row-sharded over 'model'; when the row count
+    does not divide the axis (real catalogs rarely do) the table falls back
+    to column (embedding-dim) sharding — the memory win is the same and
+    GSPMD turns the U x I eval matmul into a contraction-dim psum.
+    Everything else is replicated."""
     table_dims = set(int(d) for d in table_dims)
     model_size = mesh.shape.get("model", 1)
 
@@ -71,7 +115,10 @@ def shard_params(params, mesh: Mesh, table_dims: Sequence[int], shard_tables: bo
             and leaf.ndim == 2
             and leaf.shape[0] in table_dims
         ):
-            return jax.device_put(leaf, table_sharding(mesh))
+            if leaf.shape[0] % model_size == 0:
+                return jax.device_put(leaf, table_sharding(mesh))
+            if leaf.shape[1] % model_size == 0:
+                return jax.device_put(leaf, NamedSharding(mesh, P(None, "model")))
         return jax.device_put(leaf, replicated(mesh))
 
     return jax.tree_util.tree_map(place, params)

@@ -56,13 +56,11 @@ def quick_start(
         set_dense_dtype(jnp.bfloat16)
 
     # fused one-pass bidirectional propagation kernel (ops/fused_bip.py):
-    # pad dense symmetric blocks at build time.  Off when tables are
-    # row-sharded (padded dims no longer match the node counts the sharder
-    # keys on).
+    # pad dense symmetric blocks at build time.  Under a mesh the padded
+    # blocks row-shard like the raw node counts (parallel/mesh.py
+    # collect_table_dims) and the Pallas path wraps itself in shard_map.
     fused = config.get("fused_bip")
     fused = True if fused is None else bool(fused)
-    if config.get("shard_embedding_tables"):
-        fused = False
     from recommendar_systems_tpu.graph.sparse import set_fused_bip
 
     set_fused_bip(fused)
@@ -83,11 +81,10 @@ def quick_start(
         set_ui_matmul_mode(str(config["ui_matmul_mode"]))
 
     # fused masked-softmax attention kernel (ops/masked_attn.py): GRCN's
-    # dense routing pads its mask at build time when on
+    # dense routing pads its mask at build time when on; under a mesh the
+    # kernel row-shards itself (masked_attention_auto)
     fattn = config.get("fused_attn")
     fattn = True if fattn is None else bool(fattn)
-    if config.get("shard_embedding_tables"):
-        fattn = False
     from recommendar_systems_tpu.ops.masked_attn import set_fused_attn
 
     set_fused_attn(fattn)

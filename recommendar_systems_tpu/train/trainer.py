@@ -138,6 +138,11 @@ class Trainer:
                 config.get("mesh_shape"),
                 tuple(config.get("mesh_axis_names") or ("data", "model")),
             )
+        # kernel dispatchers consult the active mesh to shard_map their
+        # Pallas calls (GSPMD cannot partition an opaque custom call)
+        from recommendar_systems_tpu.parallel.mesh import set_active_mesh
+
+        set_active_mesh(self.mesh)
 
         if self.use_full_sampling:
             self.n_samples = data.n_users
@@ -155,6 +160,7 @@ class Trainer:
         # cap on scan steps per device dispatch (0 = whole epoch in one);
         # large-scale runs over the axon tunnel need dispatches under ~1 min
         self.steps_per_dispatch = int(config.get("steps_per_dispatch") or 0)
+        self._warned_diag: Dict[str, bool] = {}
         self._train_epoch_jit = jax.jit(self._train_epoch_impl, donate_argnums=(0, 1))
         self._train_chunk_jit = jax.jit(
             self._scan_steps_impl, donate_argnums=(0, 1)
@@ -190,8 +196,15 @@ class Trainer:
         self.net_state = dict(variables.get("state", {}))
         self.has_net_state = bool(self.net_state)
         if self.mesh is not None:
+            from recommendar_systems_tpu.parallel.mesh import collect_table_dims
+
             data = self.data
-            dims = [data.n_users, data.n_items, data.n_users + data.n_items]
+            # padded fused-layout adjacency storage dims shard like the raw
+            # node counts (zero pad rows/cols are inert under propagation)
+            dims = collect_table_dims(
+                self.ctx,
+                [data.n_users, data.n_items, data.n_users + data.n_items],
+            )
             shard_tables = bool(self.config.get("shard_embedding_tables", True))
             self.params = shard_params(
                 self.params, self.mesh, table_dims=dims, shard_tables=shard_tables
@@ -296,9 +309,13 @@ class Trainer:
         data = self.data
 
         def step(carry, xs):
-            params, opt_state, net_state, rng = carry
+            params, opt_state, net_state = carry
             idx, w, step_id = xs
-            rng, k_neg, k_drop, k_drop2, k_drop3 = jax.random.split(rng, 5)
+            # per-step keys derive from (epoch key, step_id) only, so chunked
+            # (`steps_per_dispatch`) and monolithic epochs produce
+            # bit-identical trajectories (see test_trainer_rng.py)
+            k_step = jax.random.fold_in(rng, step_id)
+            k_neg, k_drop, k_drop2, k_drop3, k_nbr = jax.random.split(k_step, 5)
             if self.use_full_sampling:
                 # permutation runs over user ids directly
                 users = idx.astype(jnp.int32)
@@ -318,7 +335,7 @@ class Trainer:
                 if self._nbr is not None:
                     from recommendar_systems_tpu.data.sampling import sample_from_csr
 
-                    rng, k_nb, k_nn = jax.random.split(rng, 3)
+                    k_nb, k_nn = jax.random.split(k_nbr)
                     batch["pos_neighbors"] = sample_from_csr(
                         k_nb, pos, self._nbr["indptr"], self._nbr["indices"],
                         self._nbr["invalid"],
@@ -409,10 +426,10 @@ class Trainer:
                     (params, opt_state),
                 )
 
-            return (params, opt_state, net_state, rng), (total, parts)
+            return (params, opt_state, net_state), (total, parts)
 
-        (params, opt_state, net_state_out, _), (totals, parts) = jax.lax.scan(
-            step, (params, opt_state, net_state, rng), xs,
+        (params, opt_state, net_state_out), (totals, parts) = jax.lax.scan(
+            step, (params, opt_state, net_state), xs,
         )
         return params, opt_state, net_state_out, totals, parts
 
@@ -421,18 +438,17 @@ class Trainer:
         """Host-driven epoch in ``steps_per_dispatch``-step dispatches.
         Dispatches queue asynchronously (no host sync between chunks), so
         throughput matches the single-dispatch path; only the per-dispatch
-        runtime is bounded.  Chunk RNG folds differently than the scanned
-        carry, which is a different-but-equally-valid sample stream."""
+        runtime is bounded.  Per-step keys fold (epoch key, step_id), so the
+        trajectory is bit-identical to the monolithic scanned epoch."""
         M = self.steps_per_dispatch
         k_perm, k_scan = jax.random.split(rng)
         perm, weight, step_ids = self._epoch_xs(k_perm)
         totals_l, parts_l = [], []
         for s0 in range(0, self.n_steps, M):
             sl = slice(s0, min(s0 + M, self.n_steps))
-            k_scan, k_c = jax.random.split(k_scan)
             params, opt_state, net_state, t, p = self._train_chunk_jit(
                 params, opt_state, net_state, ctx, arrays,
-                (perm[sl], weight[sl], step_ids[sl]), k_c,
+                (perm[sl], weight[sl], step_ids[sl]), k_scan,
             )
             totals_l.append(t)
             parts_l.append(p)
@@ -458,15 +474,22 @@ class Trainer:
         # mask train positives with -1e10 (reference trainer.py:524)
         ext = ext.at[mask_rows, mask_items].set(-1e10)
         scores = ext[:, :-1]
-        if (
-            self.mesh is not None
-            and self.mesh.shape.get("model", 1) > 1
-            and scores.shape[1] % self.mesh.shape["model"] == 0
-        ):
+        m = self.mesh.shape.get("model", 1) if self.mesh is not None else 1
+        n_items = scores.shape[1]
+        pad = (-n_items) % m
+        if m > 1 and (n_items + pad) // m >= self.max_k:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from recommendar_systems_tpu.ops.topk import distributed_topk
 
+            if pad:
+                # real catalogs are rarely divisible by the mesh axis: pad
+                # score columns with -inf so every shard is equal-width (the
+                # padding can never enter the top-k; k <= items-per-shard)
+                scores = jnp.pad(
+                    scores, ((0, 0), (0, pad)),
+                    constant_values=jnp.finfo(scores.dtype).min,
+                )
             scores = jax.lax.with_sharding_constraint(
                 scores, NamedSharding(self.mesh, P(None, "model"))
             )
@@ -625,8 +648,12 @@ class Trainer:
                 scalars.update(param_norms(self.params))
                 try:
                     scalars.update(self.grad_group_norms())
-                except Exception:
-                    pass
+                except Exception as e:
+                    if not self._warned_diag.get("grad_norms"):
+                        self._warned_diag["grad_norms"] = True
+                        self.logger.warning(
+                            f"grad_group_norms diagnostics failed: {e!r}"
+                        )
                 # model-provided diagnostics (reference trainer.py:459-467)
                 for meth in ("tb_diagnostics", "diagnostics"):
                     if hasattr(self.model, meth):
@@ -639,10 +666,40 @@ class Trainer:
                             )
                             for k, v in d.items():
                                 scalars[f"model/{k}"] = float(np.asarray(v).reshape(-1)[0]) if np.asarray(v).ndim else float(v)
-                        except Exception:
-                            pass
+                        except Exception as e:
+                            if not self._warned_diag.get(meth):
+                                self._warned_diag[meth] = True
+                                self.logger.warning(
+                                    f"model {meth} diagnostics failed: {e!r}"
+                                )
                         break
                 writer.add_scalars(scalars, epoch_idx)
+            # per-epoch rich diagnostics export (reference analysis workflow:
+            # one .npz per epoch consumed by
+            # analysis/plot_smore_diagnostics_over_epochs.py)
+            diag_dir = self.config.get("diag_export_dir")
+            if diag_dir and hasattr(self.model, "export_diagnostics"):
+                import os
+
+                os.makedirs(diag_dir, exist_ok=True)
+                try:
+                    d = self.model.apply(
+                        {"params": self.params, **(
+                            {"state": self.net_state} if self.has_net_state else {}
+                        )},
+                        self.ctx, method="export_diagnostics",
+                    )
+                    np.savez(
+                        os.path.join(
+                            diag_dir,
+                            f"{self.config['model']}_epoch{epoch_idx}.npz",
+                        ),
+                        **{k: np.asarray(v) for k, v in d.items()},
+                    )
+                except Exception as e:
+                    if not self._warned_diag.get("export"):
+                        self._warned_diag["export"] = True
+                        self.logger.warning(f"diagnostics export failed: {e!r}")
             t1 = time.time()
             if verbose:
                 ips = self.n_samples / max(t1 - t0, 1e-9)

@@ -19,9 +19,18 @@ from conftest import make_config
 
 GOLDEN = {
     # model: (overrides, valid recall@20, valid ndcg@20, final epoch loss)
-    "BPR": (dict(reg_weight=0.01), 0.5583, 0.2288, 5.517),
-    "LightGCN": (dict(n_layers=2, reg_weight=0.01), 0.6354, 0.262, 5.4796),
-    "FREEDOM": (dict(reg_weight=1e-4, dropout=0.8), 0.7208, 0.3571, 5.4148),
+    "BPR": (dict(reg_weight=0.01), 0.5365, 0.2260, 5.5581),
+    "LightGCN": (dict(n_layers=2, reg_weight=0.01), 0.6667, 0.2653, 5.4828),
+    "FREEDOM": (dict(reg_weight=1e-4, dropout=0.8), 0.7312, 0.3675, 5.4110),
+    "SMORE": (dict(reg_weight=1e-4, n_ui_layers=1, n_layers=1, knn_k=5,
+                   cl_weight=0.01), 0.6792, 0.3220, 6.0437),
+    "SMOREDiff": (dict(reg_weight=1e-4, n_ui_layers=1, n_layers=1, knn_k=5,
+                       cl_weight=0.01), 0.6792, 0.2868, 5.9740),
+    "GRCN": (dict(reg_weight=1e-4, learning_rate=0.001), 0.7844, 0.4499,
+             3.4463),
+    "MENTOR": (dict(), 0.8708, 0.4867, 29.6938),
+    "MGCN": (dict(reg_weight=1e-4, cl_loss=0.01, knn_k=5), 0.7302, 0.3442,
+             5.9340),
 }
 
 

@@ -133,7 +133,7 @@ def test_predict_pairwise(ds):
     p = tr.model.apply({"params": tr.params}, {}, users, items, method="predict")
     ue, ie = tr.model.apply({"params": tr.params}, {}, method="eval_embeddings")
     expected = (np.asarray(ue)[np.asarray(users)] * np.asarray(ie)[np.asarray(items)]).sum(-1)
-    np.testing.assert_allclose(np.asarray(p), expected, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p), expected, rtol=1e-5, atol=1e-7)
 
 
 def _opt_count(tr):

@@ -26,17 +26,21 @@ def ds():
     )
 
 
-def _run(ds, mesh_shape, shard_tables, epochs=3):
+def _run(ds, mesh_shape, shard_tables, epochs=3, model_name="LightGCN",
+         **overrides):
     cfg = make_config(
-        "LightGCN",
+        model_name,
         epochs=epochs,
-        n_layers=2,
-        reg_weight=0.001,
         mesh_shape=mesh_shape,
         shard_embedding_tables=shard_tables,
+        **overrides,
     )
+    for ax in cfg["hyper_parameters"]:
+        v = cfg[ax]
+        if isinstance(v, list) and v:
+            cfg[ax] = v[0]
     data = build_data_bundle(ds, cfg)
-    cls = get_model("LightGCN")
+    cls = get_model(model_name)
     model = cls.from_config(cfg, data)
     ctx = cls.build_ctx(cfg, data)
     trainer = Trainer(cfg, model, ctx, data, mg=False)
@@ -61,11 +65,31 @@ def test_sharded_training_runs(ds):
     assert not ue.sharding.is_fully_replicated
 
 
-def test_sharded_matches_unsharded(ds):
-    score_s, valid_s, _ = _run(ds, [4, 2], True, epochs=2)
-    score_r, valid_r, _ = _run(ds, None, False, epochs=2)
+# one representative per structural family (VERDICT r1 item 3): SMORE
+# (spectral + dense UI lift), FREEDOM (per-epoch edge dropout), GRCN
+# (dense attention routing), MENTOR (7 batched towers + mm residual),
+# SLMRec (3-channel + SSL heads), MVGAE (PoE + reparameterized sampling)
+SHARD_CASES = [
+    ("LightGCN", dict(n_layers=2, reg_weight=0.001)),
+    ("SMORE", dict(reg_weight=1e-4, n_ui_layers=1, n_layers=1, knn_k=5,
+                   cl_weight=0.01)),
+    ("FREEDOM", dict(reg_weight=1e-4, dropout=0.8)),
+    ("GRCN", dict(reg_weight=1e-4, learning_rate=0.001)),
+    ("MENTOR", dict()),
+    ("SLMRec", dict(learning_rate=0.001, ssl_alpha=0.01, ssl_temp=0.1)),
+    ("MVGAE", dict(learning_rate=0.001, beta=0.1)),
+]
+
+
+@pytest.mark.parametrize("name,overrides", SHARD_CASES)
+def test_sharded_matches_unsharded(ds, name, overrides):
+    score_s, valid_s, tr = _run(ds, [4, 2], True, epochs=2,
+                                model_name=name, **overrides)
+    score_r, valid_r, _ = _run(ds, None, False, epochs=2,
+                               model_name=name, **overrides)
     # same seed + same device-count-independent math => close results
-    assert abs(score_s - score_r) < 0.02, (valid_s, valid_r)
+    assert abs(score_s - score_r) < 0.02, (name, valid_s, valid_r)
+    assert tr.mesh is not None and tr.mesh.shape == {"data": 4, "model": 2}
 
 
 def test_graft_entry_single():

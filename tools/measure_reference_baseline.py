@@ -20,6 +20,62 @@ import tempfile
 import time
 
 
+# per-model scalarization of the reference yamls' sweep lists (one combo,
+# matching the hyperparameters PARITY.md benches on our side)
+MODEL_OVERRIDES = {
+    "LightGCN": {"n_layers": 4, "reg_weight": 0.01},
+    "FREEDOM": {"reg_weight": 1e-4, "dropout": 0.8},
+    "VBPR": {"reg_weight": 1e-3},
+    "BM3": {"n_layers": 1, "reg_weight": 0.01, "dropout": 0.3},
+    "SMORE": {"n_ui_layers": 4, "image_knn_k": 20, "text_knn_k": 15,
+              "reg_weight": 1e-5, "dropout_rate": 0.1, "mg_enable": False},
+    "GRCN": {"reg_weight": 1e-4, "learning_rate": 0.001},
+    "MGCN": {"cl_loss": 0.01},
+    "MENTOR": {"reg_weight": 0.001, "learning_rate": 1e-4, "dropout": 0.5,
+               "mask_weight_f": 1.5, "mask_weight_g": 0.001,
+               "align_weight": 0.1, "temp": 0.4,
+               "user_graph_dict_file": "user_graph_dict.npy"},
+    "SLMRec": {"learning_rate": 0.001, "ssl_temp": 0.1, "ssl_alpha": 0.01,
+               "reg": 1e-4},
+    "LATTICE": {"reg_weight": 1e-5, "learning_rate": 0.001},
+    "DualGNN": {"aggr_mode": "add", "reg_weight": 0.001,
+                "learning_rate": 0.001,
+                "user_graph_dict_file": "user_graph_dict.npy"},
+    "LGMRec": {"n_ui_layers": 2, "n_mm_layers": 2, "n_hyper_layer": 1,
+               "hyper_num": 4, "keep_rate": 0.5, "alpha": 0.3,
+               "cl_weight": 1e-4, "reg_weight": 1e-6},
+}
+
+_NEEDS_USER_GRAPH = ("MENTOR", "DualGNN", "DRAGON")
+
+
+def _gen_user_graph(data_dir: str) -> None:
+    """Reference-format u-u dict (preprocessing/gen_user_graph.py logic)."""
+    import numpy as np
+    import pandas as pd
+    from scipy import sparse as sp
+
+    inter = [f for f in os.listdir(data_dir) if f.endswith(".inter")][0]
+    df = pd.read_csv(os.path.join(data_dir, inter), sep="\t")
+    train = df[df["x_label"] == 0] if "x_label" in df else df
+    u = train["userID"].to_numpy()
+    i = train["itemID"].to_numpy()
+    n_users = int(df["userID"].max()) + 1
+    R = sp.csr_matrix((np.ones(len(u), np.float32), (u, i)),
+                      shape=(n_users, int(df["itemID"].max()) + 1))
+    C = (R @ R.T).tocsr()
+    C.setdiag(0)
+    C.eliminate_zeros()
+    graph = {}
+    for uu in range(n_users):
+        s, e = C.indptr[uu], C.indptr[uu + 1]
+        cols, vals = C.indices[s:e], C.data[s:e]
+        order = np.argsort(-vals, kind="stable")
+        graph[uu] = [cols[order].tolist(), vals[order].tolist()]
+    np.save(os.path.join(data_dir, "user_graph_dict.npy"),
+            np.array(graph, dtype=object), allow_pickle=True)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="LightGCN")
@@ -52,30 +108,19 @@ def main() -> None:
             os.replace(s, os.path.join(data_dir, dst))
     n_train = len(ds.train["users"])
     print(f"dataset written to {data_dir}: n_train={n_train}")
+    if args.model in _NEEDS_USER_GRAPH:
+        print("generating user_graph_dict.npy ...")
+        _gen_user_graph(data_dir)
 
-    # run the reference in-process (it loads configs from cwd/configs)
+    # run the reference in-process (it loads configs from cwd/configs);
+    # tests/ref_compat defeats the hard-coded .cuda() calls and shims the
+    # absent geometric deps so ALL reference models execute on CPU
     os.symlink("/root/reference/src/configs", os.path.join(work, "configs"))
     os.chdir(work)
-    sys.path.insert(0, "/root/reference/src")
-    sys.argv = ["main.py"]
-    # torchvision is absent in this image; the reference only uses it in the
-    # unused UNITER leftovers (data_utils.py) — stub it
-    import types
+    from tests.ref_compat import install_ref_shims
 
-    tv = types.ModuleType("torchvision")
-    tv.__path__ = []
-    transforms = types.ModuleType("torchvision.transforms")
-    transforms.__path__ = []
-    functional = types.ModuleType("torchvision.transforms.functional")
-    for name in ("Normalize", "Compose", "ToTensor", "Resize"):
-        setattr(transforms, name, lambda *a, **k: None)
-    functional.pad = lambda *a, **k: None
-    functional.resize = lambda *a, **k: None
-    tv.transforms = transforms
-    transforms.functional = functional
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.transforms", transforms)
-    sys.modules.setdefault("torchvision.transforms.functional", functional)
+    install_ref_shims()
+    sys.argv = ["main.py"]
     from utils.quick_start import quick_start  # reference module
 
     epoch_times = []
@@ -108,8 +153,7 @@ def main() -> None:
             "hyper_parameters": ["seed"],
             "save_recommended_topk": False,
             # scalarize the model's sweep-list hyperparameters
-            "n_layers": 4,
-            "reg_weight": 0.01,
+            **MODEL_OVERRIDES.get(args.model, {}),
             **__import__("json").loads(args.overrides),
         },
         save_model=False,
