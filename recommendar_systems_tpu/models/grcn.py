@@ -458,10 +458,12 @@ class GRCN(RecModel):
                     config.get("mesh_shape")
                     or config.get("shard_embedding_tables")
                 )
+                egcn_knob = config.get("fused_egcn")
+                egcn_on = True if egcn_knob is None else bool(egcn_knob)
                 # the dual-direction mega-kernel has no sharded form yet;
                 # under a mesh GRCN keeps the (sharded) masked-attention
                 # routing and GSPMD-partitioned dense towers
-                if grcn_fused.fits_vmem(up, ip, c, d) and not under_mesh:
+                if grcn_fused.fits_vmem(up, ip, c, d) and not under_mesh and egcn_on:
                     ctx["fused_egcn"] = True
             # edge multiplicity counts stored int8 (exact; counts are tiny)
             # — a quarter of the f32 HBM bytes on every masked-softmax pass

@@ -96,14 +96,26 @@ class LightGCNCLIP(RecModel):
             alpha = jnp.maximum(self.res_alpha, self.res_alpha_min)
             mod_post = alpha * self._mod_branch(ctx, train=False)
             ids = jnp.concatenate([pos, neg])
+            # the reference means over torch.unique(ids)
+            # (`lightgcnclip.py:238-247`); jit needs static shapes, so weigh
+            # each id by its first occurrence instead (same mean), dropping
+            # zero-weight padding rows
+            keep = jnp.ones(ids.shape[0], bool) if w is None else (
+                jnp.concatenate([w, w]) > 0
+            )
+            eq = ids[:, None] == ids[None, :]
+            eq = eq & keep[None, :]
+            first = jnp.argmax(eq, axis=1) == jnp.arange(ids.shape[0])
+            uniq = (first & keep).astype(jnp.float32)
             mod_sel = mod_post[ids]
             id_sel = jax.lax.stop_gradient(self.item_emb)[ids]
             if self.mod_align_use_cosine:
-                align = 1.0 - jnp.sum(
+                per = 1.0 - jnp.sum(
                     l2_normalize(mod_sel) * l2_normalize(id_sel), -1
-                ).mean()
+                )
             else:
-                align = jnp.mean((mod_sel - id_sel) ** 2)
+                per = jnp.mean((mod_sel - id_sel) ** 2, axis=-1)
+            align = jnp.sum(per * uniq) / jnp.maximum(jnp.sum(uniq), 1.0)
             total = total + self.mod_align_weight * align
         return total, {"mf_loss": mf, "reg_loss": reg, "align": align}
 

@@ -53,7 +53,11 @@ class _ModalGCN(nn.Module):
             dim_in = features.shape[-1]
         x = l2_normalize(jnp.concatenate([preference, temp], axis=0))
 
-        # block 1 convs in dim_in then maps to dim_id; blocks 2-3 in dim_id
+        # block 1 convs in dim_in then maps to dim_id; blocks 2-3 in dim_id.
+        # NOTE the reference sets ``self.concate = 'False'`` — a TRUTHY
+        # string (`mmgcn.py:31`) — so its executed branch is the CONCAT one:
+        # x = leaky(g(cat(h, x_hat))), not the g(h) + x_hat injection the
+        # string was meant to select; reproduced for exact parity
         w1 = self.param("conv_w1", _pyg_uniform(dim_in), (dim_in, dim_in))
         h = nn.leaky_relu(spmm(adj, x @ w1), negative_slope=0.01)
         x_hat = nn.leaky_relu(
@@ -61,7 +65,9 @@ class _ModalGCN(nn.Module):
             negative_slope=0.01,
         ) + id_embedding
         x = nn.leaky_relu(
-            Dense(self.dim_id, kernel_init=xavier_normal, name="g1")(h) + x_hat,
+            Dense(self.dim_id, kernel_init=xavier_normal, name="g1")(
+                jnp.concatenate([h, x_hat], axis=1)
+            ),
             negative_slope=0.01,
         )
         for idx in (2, 3):
@@ -72,7 +78,9 @@ class _ModalGCN(nn.Module):
                 negative_slope=0.01,
             ) + id_embedding
             x = nn.leaky_relu(
-                Dense(self.dim_id, kernel_init=xavier_normal, name=f"g{idx}")(h) + x_hat,
+                Dense(self.dim_id, kernel_init=xavier_normal, name=f"g{idx}")(
+                    jnp.concatenate([h, x_hat], axis=1)
+                ),
                 negative_slope=0.01,
             )
         return x
@@ -121,8 +129,17 @@ class MMGCN(RecModel):
         pos_s = jnp.sum(u * out[pos + self.n_users], axis=1)
         neg_s = jnp.sum(u * out[neg + self.n_users], axis=1)
         mf = _wmean(-jnp.log(jax.nn.sigmoid(pos_s - neg_s)), w)
-        idx = jnp.concatenate([users, pos + self.n_users, neg + self.n_users])
-        reg = jnp.mean(ctx["id_embedding"][idx] ** 2)
+        # `mmgcn.py:92`: (id[user_rep2]^2 + id[item_interleave]^2).mean()
+        # == mean_B(u^2) + (mean_B(p^2) + mean_B(n^2)) / 2
+        ide = ctx["id_embedding"]
+
+        def row_msq(e):
+            return jnp.mean(e * e, axis=1)
+
+        reg = _wmean(row_msq(ide[users]), w) + 0.5 * (
+            _wmean(row_msq(ide[pos + self.n_users]), w)
+            + _wmean(row_msq(ide[neg + self.n_users]), w)
+        )
         if self.has_v:
             reg = reg + jnp.mean(ctx["v_preference"] ** 2)
         total = mf + self.reg_weight * reg

@@ -238,6 +238,9 @@ class SMOREDiff(SMOREX):
             data.train_users_np, data.train_items_np, data.n_users,
             data.n_items, dense=False,
         )
+        if not (True if config.get("use_edge_nce") is None
+                else bool(config.get("use_edge_nce"))):
+            return ctx  # edge-NCE off: skip the hard-negative pool build
         # the hard-negative pools below need ELL neighbor LISTS; rebuild the
         # fusion union in forced-ELL form (the kNN disk cache stores ELL, so
         # this re-read is cheap) while ctx keeps the dense propagation form
@@ -295,10 +298,16 @@ class SMOREDiff(SMOREX):
                         negs.append(j)
                         if len(negs) >= K:
                             break
-            while len(negs) < K:
+            tries = 0
+            while len(negs) < K and tries < 50 * K:
+                tries += 1
                 j = int(rng.integers(0, data.n_items))
                 if j not in pos_sets[u] and j != ip and j not in negs:
                     negs.append(j)
+            while len(negs) < K:
+                # tiny catalogs can lack K valid negatives entirely
+                # (user interacted with nearly every item): cycle items
+                negs.append(int((ip + len(negs) + 1) % data.n_items))
             hard[e] = negs[:K]
         ctx["edge_hard_negs"] = jnp.asarray(hard)
         return ctx

@@ -2,10 +2,11 @@
 
 The reference uses optional TensorBoard (`/root/reference/src/common/
 trainer.py:111-123, 399-467`) for loss parts, learning rate, per-group
-gradient norms, parameter norms and model-provided diagnostics.  This image
-has no tensorboard package, so scalars go to a JSONL event file that
-`tools/plot_metrics.py` renders; the surface (tags and grouping) matches
-the reference so dashboards translate one-to-one.
+gradient norms, parameter norms and model-provided diagnostics.  Scalars go
+to a JSONL event file that `tools/plot_metrics.py` renders (same tags and
+grouping as the reference, so dashboards translate one-to-one), and — when
+``tb_events: true`` — ALSO to real TensorBoard event files via
+``tf.summary`` (drop-in for the reference's `tb_compare_*` workflow).
 """
 
 from __future__ import annotations
@@ -35,12 +36,24 @@ def group_name(param_path: str) -> str:
 
 
 class ScalarWriter:
-    """Append-only JSONL scalar log (one event per line)."""
+    """Append-only JSONL scalar log (one event per line); optionally mirrors
+    every scalar into a real TensorBoard event file (``tb_events=True``,
+    drop-in surface for the reference `trainer.py:111-123`)."""
 
-    def __init__(self, log_dir: str, run_name: str):
+    def __init__(self, log_dir: str, run_name: str, tb_events: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{run_name}.jsonl")
         self._f = open(self.path, "a", encoding="utf-8")
+        self._tb = None
+        if tb_events:
+            try:
+                from tensorflow import summary as tf_summary
+
+                self._tb = tf_summary.create_file_writer(
+                    os.path.join(log_dir, run_name)
+                )
+            except ImportError:
+                pass  # JSONL alone; this image normally ships tensorflow
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         try:
@@ -56,6 +69,16 @@ class ScalarWriter:
         for tag, v in scalars.items():
             self.add_scalar(tag, v, step)
         self._f.flush()
+        if self._tb is not None:
+            from tensorflow import summary as tf_summary
+
+            with self._tb.as_default():
+                for tag, v in scalars.items():
+                    try:
+                        tf_summary.scalar(tag, float(v), step=step)
+                    except (TypeError, ValueError):
+                        continue
+            self._tb.flush()
 
     def close(self) -> None:
         self._f.close()

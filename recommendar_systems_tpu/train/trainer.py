@@ -555,6 +555,7 @@ class Trainer:
             writer = ScalarWriter(
                 self.config.get("tb_log_dir") or "./log/scalars",
                 f"{self.config['model']}_{self.config['dataset']}_{get_local_time()}",
+                tb_events=bool(self.config.get("tb_events")),
             )
 
         # full checkpoint/resume (new capability; reference never saves state)
@@ -679,8 +680,6 @@ class Trainer:
             # analysis/plot_smore_diagnostics_over_epochs.py)
             diag_dir = self.config.get("diag_export_dir")
             if diag_dir and hasattr(self.model, "export_diagnostics"):
-                import os
-
                 os.makedirs(diag_dir, exist_ok=True)
                 try:
                     d = self.model.apply(

@@ -261,6 +261,27 @@ def install_ref_shims():
     # identity-patch so the unmodified code runs on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    # `nn.Parameter(...).to('cuda')` yields a PLAIN tensor, so on GPU the
+    # reference's forward-time re-assignments like `self.result_embed =
+    # torch.cat(...)` target an ordinary attribute (`mentor.py:168-182`,
+    # `dualgnn.py:130`, `dragon.py:155`); on CPU `.to` is a no-op, the name
+    # stays a registered Parameter, and the same assignment raises.
+    # Reproduce the CUDA end state: de-register and assign.
+    _orig_setattr = torch.nn.Module.__setattr__
+
+    def _cuda_like_setattr(self, name, value):
+        params = self.__dict__.get("_parameters")
+        if (
+            params is not None and name in params
+            and torch.is_tensor(value)
+            and not isinstance(value, torch.nn.Parameter)
+        ):
+            del params[name]
+            object.__setattr__(self, name, value)
+            return
+        _orig_setattr(self, name, value)
+
+    torch.nn.Module.__setattr__ = _cuda_like_setattr
     # the reference targets scipy 1.7.3 whose dok_matrix had a private
     # `_update` bulk setter (used by `lgmrec.py:76`, `mmgcn`-family
     # `get_norm_adj_mat`); restore it on modern scipy
@@ -341,7 +362,9 @@ def fill_ref_params(ref, seed=0, scale=0.1, exclude=()):
             if name in exclude:
                 vals[name] = p.detach().numpy().copy()
                 continue
-            a = (rng.normal(size=tuple(p.shape)) * scale).astype(np.float32)
+            a = np.asarray(
+                rng.normal(size=tuple(p.shape)) * scale, dtype=np.float32
+            )
             p.copy_(torch.from_numpy(a))
             vals[name] = a
     return vals
@@ -440,19 +463,19 @@ def our_model_and_ctx(model_name, data, config_overrides, dense=None):
     cfg_dict.update(config_overrides)
     cfg = Config(model_name, "synthetic", config_dict=cfg_dict)
     bundle = build_data_bundle(ds, cfg)
-    mod = importlib.import_module(
-        f"recommendar_systems_tpu.models.{model_name.lower()}"
-    )
-    model = mod.MODEL.from_config(cfg, bundle)
+    from recommendar_systems_tpu.models import get_model
+
+    cls = get_model(model_name)
+    model = cls.from_config(cfg, bundle)
     try:
-        ctx = mod.MODEL.build_ctx(cfg, bundle, dense=dense)
+        ctx = cls.build_ctx(cfg, bundle, dense=dense)
     except TypeError:
-        ctx = mod.MODEL.build_ctx(cfg, bundle)
+        ctx = cls.build_ctx(cfg, bundle)
     return model, ctx, bundle, cfg
 
 
 def our_loss_value(model, ctx, params, bu, bp, bn=None, weight=None, rngs=None,
-                   extra_vars=None):
+                   extra_vars=None, train=True):
     import jax
     import jax.numpy as jnp
 
@@ -469,7 +492,7 @@ def our_loss_value(model, ctx, params, bu, bp, bn=None, weight=None, rngs=None,
         variables.update(extra_vars)
         mutable = list(extra_vars.keys())
     out = model.apply(
-        variables, ctx, batch, True, method="loss",
+        variables, ctx, batch, train, method="loss",
         rngs=rngs or {"dropout": jax.random.key(0), "sample": jax.random.key(2)},
         mutable=mutable,
     )

@@ -50,6 +50,40 @@ def test_diag_export_and_over_epochs_plot(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_tb_event_files_written(tmp_path):
+    """tb_events=true mirrors scalars into REAL TensorBoard event files
+    (drop-in surface for the reference trainer.py:111-123)."""
+    pytest.importorskip("tensorflow")
+    ds = generate_synthetic(
+        n_users=50, n_items=30, n_inter=600, v_dim=8, t_dim=8, seed=4
+    )
+    log_dir = str(tmp_path / "tb")
+    cfg = make_config("BPR", epochs=2, reg_weight=0.01, tensorboard=True,
+                      tb_events=True, tb_log_dir=log_dir)
+    for ax in cfg["hyper_parameters"]:
+        v = cfg[ax]
+        if isinstance(v, list) and v:
+            cfg[ax] = v[0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("BPR")
+    tr = Trainer(cfg, cls.from_config(cfg, data), cls.build_ctx(cfg, data),
+                 data)
+    tr.init_state(5)
+    tr.fit(saved=False, verbose=False)
+
+    ev_files = glob.glob(f"{log_dir}/**/events.out.tfevents.*", recursive=True)
+    assert ev_files, os.listdir(log_dir)
+    # events are real TB records: read tags back
+    from tensorflow.python.summary.summary_iterator import summary_iterator
+
+    tags = set()
+    for f in ev_files:
+        for ev in summary_iterator(f):
+            for v in ev.summary.value:
+                tags.add(v.tag)
+    assert "loss/total" in tags, tags
+
+
 def test_preprocessing_sanity_scripts(tmp_path):
     rng = np.random.default_rng(0)
     np.save(tmp_path / "image_feat.npy",

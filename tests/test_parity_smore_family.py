@@ -67,7 +67,7 @@ _FEATURE_TABLES = ("image_embedding.weight", "text_embedding.weight")
 
 def _run_smore_like(tmp_path, module_name, class_name, extra_ref_cfg,
                     extra_our_cfg, mapping_extra=None, seed=0,
-                    ref_class_name=None):
+                    ref_class_name=None, pre_epoch=False):
     data = rc.tiny_mm_data(tmp_path, seed=seed)
     ref_mod = rc.import_ref_model(module_name)
     class_name_ref = ref_class_name or class_name
@@ -84,6 +84,11 @@ def _run_smore_like(tmp_path, module_name, class_name, extra_ref_cfg,
         data.u, data.i, data.n_users, data.n_items))
     vals = rc.fill_ref_params(ref, seed=seed, exclude=_FEATURE_TABLES)
     ref.eval()  # dropout off (we also set dropout_rate=0)
+    if pre_epoch:
+        # advance to epoch 1: SMOREDiffX's scheduled diff_beta only updates
+        # in pre_epoch_processing (`smorediffx.py:241-248`); our side derives
+        # it from ctx['epoch'] (default 1) inside the jitted loss
+        ref.pre_epoch_processing()
     bu, bp, bn = rc.make_batch(data)
     ref_loss = rc.ref_loss_value(ref, bu, bp, bn)
 
@@ -91,19 +96,28 @@ def _run_smore_like(tmp_path, module_name, class_name, extra_ref_cfg,
     our_cfg.update(extra_our_cfg)
     model, ctx, bundle, _ = rc.our_model_and_ctx(
         class_name if class_name != "SMORE1" else "SMORE1", data, our_cfg)
+    if pre_epoch and "epoch" in ctx:
+        import jax.numpy as jnp
+
+        ctx["epoch"] = jnp.asarray(1.0)  # mirror ref.pre_epoch_processing()
     import jax
 
-    init = model.init(
+    variables = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         ctx, {"users": np.zeros(2, np.int32), "pos_items": np.zeros(2, np.int32),
               "neg_items": np.zeros(2, np.int32), "weight": np.ones(2)},
         True, method="loss",
-    )["params"]
+    )
+    init = variables["params"]
+    extra_vars = (
+        {"state": variables["state"]} if "state" in variables else None
+    )
     mapping = _smore_mapping()
     if mapping_extra:
         mapping.update(mapping_extra)
     params = rc.map_flax_params(init, mapping, vals)
-    ours, parts = rc.our_loss_value(model, ctx, params, bu, bp, bn)
+    ours, parts = rc.our_loss_value(model, ctx, params, bu, bp, bn,
+                                    extra_vars=extra_vars)
     assert abs(ours - ref_loss) < 1e-4, (ours, ref_loss, parts)
 
 
@@ -176,6 +190,36 @@ def test_smoremg_loss_parity_mul_fallback(tmp_path):
     _run_smore_like(tmp_path, "smoremg", "SMOREMG",
                     {**extra, "model": "SMOREMG"}, extra,
                     mapping_extra=_SMOREMG_GATE, seed=9)
+
+
+def test_smorediff_loss_parity_no_mvp(tmp_path):
+    """SMOREDiff with diffusion off: spectrum conv + 3 views + CL through
+    the Diff code path (`smorediff.py:431-569`); edge-NCE off (its negative
+    sampling draws `torch.randint`/`randperm`, `smorediff.py:205-221` —
+    unpinnable across frameworks)."""
+    extra = {"use_diffusion_mvp": False, "use_edge_nce": False}
+    _run_smore_like(tmp_path, "smorediff", "SMOREDiff",
+                    extra, extra, seed=12)
+
+
+def test_smorediff_loss_parity_soft_r(tmp_path):
+    """SMOREDiff soft-R reweighting ON: conditional cosine lift, z-score
+    gate, tanh down-weighting (`smorediff.py:300-395,443-449`)."""
+    extra = {"use_diffusion_mvp": True, "use_edge_nce": False,
+             "diff_beta": 0.3, "diff_temp": 0.6, "diff_gamma": 1.2,
+             "diff_z_thres": 0.5}
+    _run_smore_like(tmp_path, "smorediff", "SMOREDiff",
+                    extra, extra, seed=13)
+
+
+def test_smorediffx_loss_parity(tmp_path):
+    """SMOREDiffX with NoiseRecipe off (it draws gaussian noise,
+    `smorediffx.py:23-60`) and edge-NCE off: DSPDenoiser + soft-R + CL
+    composition (`smorediffx.py:189-330`)."""
+    extra = {"use_diffusion_mvp": True, "use_edge_nce": False,
+             "noise_recipe_on": False}
+    _run_smore_like(tmp_path, "smorediffx", "SMOREDiffX",
+                    extra, extra, seed=14, pre_epoch=True)
 
 
 def test_smorex_loss_parity_softthr(tmp_path):

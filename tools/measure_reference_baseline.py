@@ -123,6 +123,24 @@ def main() -> None:
     sys.argv = ["main.py"]
     from utils.quick_start import quick_start  # reference module
 
+    if args.model in ("DualGNN", "DRAGON"):
+        # this torch no longer accepts a nested python list as tensor-style
+        # advanced indexing (`dualgnn.py:261`); the CUDA-era torch the
+        # reference targeted converted it — restore that semantics
+        import importlib
+
+        import torch
+
+        mod = importlib.import_module(f"models.{args.model.lower()}")
+        _orig_fwd = mod.User_Graph_sample.forward
+
+        def _fwd(self, features, user_graph, user_matrix):
+            if not torch.is_tensor(user_graph):
+                user_graph = torch.tensor(user_graph, dtype=torch.long)
+            return _orig_fwd(self, features, user_graph, user_matrix)
+
+        mod.User_Graph_sample.forward = _fwd
+
     epoch_times = []
     handler = logging.Handler()
     pat = re.compile(r"epoch \d+ training \[time: ([0-9.]+)s")
