@@ -661,6 +661,32 @@ def unpad_nodes(adj, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def coo_to_densemat(adj: COO) -> DenseMat:
+    """Scatter a COO's values into a dense [n, m] block (jit-safe).
+
+    The per-step soft-R path (SMOREDiff, reference `smorediff.py:287-338`)
+    rewrites per-EDGE values every step but then propagates through the
+    whole block.  Scattering the nnz scalar values (~4 bytes/edge) into a
+    zeroed dense block and running the user lift as one MXU matmul beats
+    per-edge gather/segment_sum SpMM (~20 GB/s effective on TPU) whenever
+    the dense block fits the densify threshold — the scatter moves ~0.5 MB
+    where the COO SpMM gathers nnz*d*4 bytes per pass.  ``build_norm_ui``
+    lexsorts edges by (row, col), so the flattened indices are sorted;
+    duplicate edges (none after 5-core dedup) accumulate exactly like
+    ``spmm_coo``'s segment_sum.  Only call when ``dense_ok(n, m)`` — the
+    int32 flat index also requires n*m < 2**31, which the densify
+    threshold already guarantees.
+    """
+    n, m = adj.n_rows, adj.n_cols
+    flat = adj.rows.astype(jnp.int32) * jnp.int32(m) + adj.cols.astype(jnp.int32)
+    dense = (
+        jnp.zeros((n * m,), adj.vals.dtype)
+        .at[flat]
+        .add(adj.vals, indices_are_sorted=True, mode="promise_in_bounds")
+    )
+    return DenseMat(dense.reshape(n, m))
+
+
 def spmm_densebip(adj: DenseBip, x: jnp.ndarray) -> jnp.ndarray:
     up, ip = int(adj.ur.shape[0]), int(adj.ur.shape[1])
     padded_in = (

@@ -20,14 +20,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recommendar_systems_tpu.graph.sparse import COO, spmm
+from recommendar_systems_tpu.graph.sparse import COO, coo_to_densemat, dense_ok, spmm
 from recommendar_systems_tpu.models.layers import l2_normalize
 from recommendar_systems_tpu.models.losses import batch_sq_reg, bpr_loss, infonce
-from recommendar_systems_tpu.models.multiview import modality_view, ui_content_view
+from recommendar_systems_tpu.models.multiview import (
+    modality_views_batched,
+    ui_content_view,
+)
 from recommendar_systems_tpu.models.smorex import SMOREX
 
 
 class SMOREDiff(SMOREX):
+    _diffusion_default = False  # build_ctx default when the key is unset
+
     use_diffusion_mvp: bool = False
     diff_beta: float = 0.5
     diff_temp: float = 0.6
@@ -89,15 +94,23 @@ class SMOREDiff(SMOREX):
 
         if self.use_diffusion_mvp:
             R = self.build_soft_r(ctx, ctx["R"], self._denoise_cond(fusion_item), train)
+            # per-edge math stays exact on the COO values; the propagation
+            # then rides the MXU by scattering the nnz scalars into a dense
+            # block (see graph/sparse.py::coo_to_densemat)
+            if isinstance(R, COO) and dense_ok(self.n_users, self.n_items):
+                R = coo_to_densemat(R)
         else:
             R = ctx["R"]
 
         content = ui_content_view(
             ctx["norm_adj"], self.user_embedding, iid, self.n_ui_layers
         )
-        image_embeds = modality_view(ctx["image_adj"], R, image_item, self.n_layers)
-        text_embeds = modality_view(ctx["text_adj"], R, text_item, self.n_layers)
-        fusion_embeds = modality_view(ctx["fusion_adj"], R, fusion_item, self.n_layers)
+        image_embeds, text_embeds, fusion_embeds = modality_views_batched(
+            [ctx["image_adj"], ctx["text_adj"], ctx["fusion_adj"]],
+            R,
+            [image_item, text_item, fusion_item],
+            self.n_layers,
+        )
 
         agg_image = jax.nn.softmax(self.query_v(fusion_embeds), axis=-1) * image_embeds
         agg_text = jax.nn.softmax(self.query_t(fusion_embeds), axis=-1) * text_embeds
@@ -229,15 +242,22 @@ class SMOREDiff(SMOREX):
         from recommendar_systems_tpu.graph.sparse import ell_union_max
         from recommendar_systems_tpu.models.smore import SMORE as _S
 
-        # Only R must stay COO (the soft-R rescaling addresses its edge
-        # slots per step); the symmetric norm_adj and the kNN modality
-        # graphs carry no per-edge state and ride the dense MXU path like
-        # every other SMORE variant (45k -> see matrix for measured gain).
+        # Only R must stay COO, and only when soft-R is on (the rescaling
+        # addresses its edge slots per step; the EMA/renorm state is sized
+        # by nnz); the symmetric norm_adj and the kNN modality graphs carry
+        # no per-edge state and ride the dense MXU path like every other
+        # SMORE variant.  With diffusion off, R keeps SMORE's aliased dense
+        # form too.
         ctx = _S.build_ctx(config, data)
-        ctx["R"] = build_norm_ui(
-            data.train_users_np, data.train_items_np, data.n_users,
-            data.n_items, dense=False,
-        )
+        v = config.get("use_diffusion_mvp")
+        if isinstance(v, list):
+            v = v[0] if v else None
+        use_diff = cls._diffusion_default if v is None else bool(v)
+        if use_diff:
+            ctx["R"] = build_norm_ui(
+                data.train_users_np, data.train_items_np, data.n_users,
+                data.n_items, dense=False,
+            )
         if not (True if config.get("use_edge_nce") is None
                 else bool(config.get("use_edge_nce"))):
             return ctx  # edge-NCE off: skip the hard-negative pool build

@@ -33,6 +33,8 @@ from recommendar_systems_tpu.ops.spectral import haar_dwt1, haar_idwt1, irfft_or
 
 
 class SMOREDiffX(SMOREDiff):
+    _diffusion_default = True  # config_kwargs defaults use_diffusion_mvp on
+
     noise_recipe_on: bool = True
     nr_topk_fake: int = 5
     dsp_mode: str = "fft_mask"

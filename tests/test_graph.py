@@ -332,3 +332,32 @@ def test_masked_attention_kernel_interpret_matches_dense():
         a, b = np.asarray(a), np.asarray(b)
         rel = np.linalg.norm(a - b) / np.linalg.norm(b)
         assert rel < 2e-2, f"relative grad error {rel}"
+
+
+def test_coo_to_densemat_matches_coo():
+    """Jit-safe scatter densify (SMOREDiff soft-R fast path) is exact,
+    including duplicate-edge accumulation."""
+    import jax
+
+    from recommendar_systems_tpu.graph.sparse import coo_to_densemat, spmm
+
+    rng = np.random.default_rng(7)
+    n_users, n_items = 23, 17
+    u = rng.integers(0, n_users, 120)  # duplicates on purpose
+    i = rng.integers(0, n_items, 120)
+    order = np.lexsort((i, u))
+    adj = COO(
+        rows=jnp.asarray(u[order], jnp.int32),
+        cols=jnp.asarray(i[order], jnp.int32),
+        vals=jnp.asarray(rng.normal(size=120).astype(np.float32)[order]),
+        n_rows=n_users,
+        n_cols=n_items,
+    )
+    dense = jax.jit(coo_to_densemat)(adj)
+    oracle = np.zeros((n_users, n_items), np.float64)
+    np.add.at(oracle, (u, i), np.asarray(adj.vals, np.float64)[np.argsort(order)])
+    np.testing.assert_allclose(np.asarray(dense.mat), oracle, atol=1e-5)
+    x = jnp.asarray(rng.normal(size=(n_items, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(dense, x)), np.asarray(spmm_coo(adj, x)), atol=1e-4
+    )
