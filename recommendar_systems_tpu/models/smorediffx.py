@@ -130,9 +130,17 @@ class SMOREDiffX(SMOREDiff):
         return self.w_rank, lam_cl, lam_edge
 
     # ---------------- soft-R with renorm + EMA (`smorediffx.py:246-272`) ---
-    def build_soft_r(self, ctx, R: COO, cond_item: jnp.ndarray, train: bool = True) -> COO:
-        soft = super().build_soft_r(ctx, R, cond_item, train)
-        vals = soft.vals
+    def build_soft_r(self, ctx, R: COO, cond_item: jnp.ndarray,
+                     train: bool = True, ui=None) -> COO:
+        if ui is not None:
+            # dense z-score statistics (see SMOREDiff._soft_scale_dense),
+            # then gather the per-edge scale so the renorm/EMA below stays
+            # EXACTLY the reference's per-edge math and (nnz,) state
+            scale = self._soft_scale_dense(ctx, ui, cond_item)
+            vals = R.vals * scale[R.rows, R.cols]
+        else:
+            soft = super().build_soft_r(ctx, R, cond_item, train)
+            vals = soft.vals
         if self.renorm_softR:
             orig_row = jax.ops.segment_sum(R.vals, R.rows, num_segments=self.n_users)
             new_row = jnp.maximum(

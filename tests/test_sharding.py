@@ -78,6 +78,9 @@ SHARD_CASES = [
     ("MENTOR", dict()),
     ("SLMRec", dict(learning_rate=0.001, ssl_alpha=0.01, ssl_temp=0.1)),
     ("MVGAE", dict(learning_rate=0.001, beta=0.1)),
+    # dense soft-R scale + exact per-edge EMA/renorm + scatter under GSPMD
+    ("SMOREDiffX", dict(reg_weight=1e-4, n_ui_layers=1, n_layers=1, knn_k=5,
+                        cl_weight=0.01, use_diffusion_mvp=True)),
 ]
 
 
