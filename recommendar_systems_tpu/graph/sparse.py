@@ -678,6 +678,12 @@ def coo_to_densemat(adj: COO) -> DenseMat:
     threshold already guarantees.
     """
     n, m = adj.n_rows, adj.n_cols
+    # the int32 flat index (and the scatter's promise_in_bounds) is only
+    # valid below 2**31 entries; the default densify threshold guarantees
+    # it, but set_dense_threshold(>~8.6 GB) would silently corrupt here
+    assert n * m < 2**31, (
+        f"coo_to_densemat: {n}x{m} block overflows the int32 flat index"
+    )
     flat = adj.rows.astype(jnp.int32) * jnp.int32(m) + adj.cols.astype(jnp.int32)
     dense = (
         jnp.zeros((n * m,), adj.vals.dtype)
@@ -784,6 +790,11 @@ def set_spmm_dtype(dtype) -> None:
     precision.  Must be called before the train step is traced."""
     global _SPMM_DTYPE
     _SPMM_DTYPE = dtype
+
+
+def spmm_dtype():
+    """The explicit SpMM compute-dtype override, or None (input dtype)."""
+    return _SPMM_DTYPE
 
 
 # Peak-memory cap for the [nnz, d] gathered intermediate of a COO SpMM.

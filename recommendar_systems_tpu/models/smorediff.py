@@ -83,7 +83,11 @@ class SMOREDiff(SMOREX):
             -1.0, 1.0,
         )
         logits = sim / self.diff_temp
-        mask = (ui.mat != 0).astype(jnp.float32)
+        # weight the per-user statistics by edge MULTIPLICITY (the int8
+        # counts), not by unique items — identical to the per-edge
+        # segment_sum path even if duplicate train pairs ever survive dedup
+        # (counts are 0/1 today, where this equals a != 0 mask)
+        mask = ui.mat.astype(jnp.float32)
         cnt = jnp.maximum(mask.sum(axis=1), 1.0)
         lm = logits * mask
         mu = lm.sum(axis=1) / cnt
@@ -105,11 +109,19 @@ class SMOREDiff(SMOREX):
         returned directly in ``DenseUI`` form — identical values for 0/1
         counts, no per-edge gathers, no scatter."""
         if ui is not None:
-            from recommendar_systems_tpu.graph.sparse import DenseUI
+            from recommendar_systems_tpu.graph.sparse import DenseUI, spmm_dtype
 
             scale = self._soft_scale_dense(ctx, ui, cond_item)
-            tgt = (jnp.float32 if jax.default_backend() == "cpu"
-                   else jnp.bfloat16)
+            # Storage dtype of the perturbed block: an explicit
+            # set_spmm_dtype wins; otherwise bf16 on TPU (halves the HBM
+            # traffic of the dominant propagation matmul).  NOTE: unlike the
+            # exact int8->bf16 0/1-count cast in spmm_denseui, the soft-R
+            # scales are real-valued, so the TPU-default bf16 rounds them
+            # (~0.4% rel) — the per-edge-path 1e-4 parity pin holds on CPU
+            # (f32) and is documented as CPU-verified in PARITY.md.
+            tgt = spmm_dtype() or (
+                jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+            )
             mat = (ui.mat.astype(jnp.float32) * scale).astype(tgt)
             return DenseUI(mat, ui.dims, ui.row_scale, ui.col_scale)
         beta, only_down = self._schedule(ctx)
@@ -273,7 +285,13 @@ class SMOREDiff(SMOREX):
 
         kw = SMOREX.config_kwargs.__func__(cls, config, data)
         kw.update(
-            use_diffusion_mvp=bool(config.get("use_diffusion_mvp") or False),
+            # cfg_scalar unwraps sweep-lists exactly like build_ctx does, so
+            # the model flag and ctx["R"]'s form can never disagree (a
+            # list-valued [false] used to enable diffusion here while
+            # build_ctx kept the DenseUI alias)
+            use_diffusion_mvp=bool(
+                cfg_scalar(config, "use_diffusion_mvp", cls._diffusion_default)
+            ),
             diff_beta=float(cfg_scalar(config, "diff_beta", 0.5)),
             diff_temp=float(cfg_scalar(config, "diff_temp", 0.6)),
             diff_gamma=float(cfg_scalar(config, "diff_gamma", 1.2)),
@@ -324,10 +342,9 @@ class SMOREDiff(SMOREX):
         # SMORE variant.  With diffusion off, R keeps SMORE's aliased dense
         # form too.
         ctx = _S.build_ctx(config, data)
-        v = config.get("use_diffusion_mvp")
-        if isinstance(v, list):
-            v = v[0] if v else None
-        use_diff = cls._diffusion_default if v is None else bool(v)
+        use_diff = bool(
+            cfg_scalar(config, "use_diffusion_mvp", cls._diffusion_default)
+        )
         if use_diff:
             ctx["R"] = build_norm_ui(
                 data.train_users_np, data.train_items_np, data.n_users,

@@ -254,8 +254,7 @@ class SMOREDiffX(SMOREDiff):
                 else config.get("renorm_softR")
             ),
             use_diffusion_mvp=bool(
-                True if config.get("use_diffusion_mvp") is None
-                else config.get("use_diffusion_mvp")
+                cfg_scalar(config, "use_diffusion_mvp", cls._diffusion_default)
             ),
             r_nnz=int(len(data.train_users_np)),
         )
