@@ -81,6 +81,18 @@ SHARD_CASES = [
     # dense soft-R scale + exact per-edge EMA/renorm + scatter under GSPMD
     ("SMOREDiffX", dict(reg_weight=1e-4, n_ui_layers=1, n_layers=1, knn_k=5,
                         cl_weight=0.01, use_diffusion_mvp=True)),
+    # VERDICT r2 item 2 — mechanisms previously without mesh equivalence:
+    # LATTICE's per-epoch learned-graph rebuild (ref lattice.py:137-159)
+    ("LATTICE", dict(knn_k=5, reg_weight=0.001)),
+    # PGL's LowRank global adjacency (ref pgl.py:138-154)
+    ("PGL", dict(mode="global", reg_weight=0.01)),
+    # DualGNN/DRAGON u-u co-occurrence graph buffers (ref dualgnn.py:207-266)
+    ("DualGNN", dict(reg_weight=0.001, learning_rate=0.001)),
+    ("DRAGON", dict(reg_weight=0.001, learning_rate=0.001)),
+    # LGMRec's hypergraph matmuls (ref lgmrec.py:117-126)
+    ("LGMRec", dict()),
+    # BM3's no-negative bootstrap path
+    ("BM3", dict()),
 ]
 
 
