@@ -125,7 +125,13 @@ def _run_one(args, model_name: str) -> None:
     from recommendar_systems_tpu.data.synthetic import generate_synthetic_fast
     from recommendar_systems_tpu.models import get_model
     from recommendar_systems_tpu.train.trainer import Trainer
+    from recommendar_systems_tpu.utils.compile_cache import enable_compile_cache
     from recommendar_systems_tpu.utils.configurator import Config
+
+    # persistent XLA compile cache: SMORE's cold compile over the axon
+    # tunnel exceeds the 900 s per-model watchdog; a warm cache loads the
+    # same executable in <1 s (utils/compile_cache.py)
+    enable_compile_cache()
 
     extra = {}
     for kv in args.config:

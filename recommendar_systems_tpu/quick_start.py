@@ -37,10 +37,35 @@ def quick_start(
     # device selection (counterpart of reference configurator.py:114-118):
     # config['device'] = 'cpu' forces the host platform (the axon TPU plugin
     # ignores JAX_PLATFORMS, so use the config flag)
+    # multi-host runtime: must initialize BEFORE the first backend query so
+    # jax.devices() spans every process' chips (parallel/multihost.py;
+    # --config multihost=true coordinator_address=... num_processes=N
+    # process_id=R, or the standard JAX env vars / pod auto-detection)
+    from recommendar_systems_tpu.parallel.multihost import initialize_from_config
+
+    if initialize_from_config(config):
+        import jax
+
+        logger.info(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"{len(jax.local_devices())} local / {len(jax.devices())} global devices"
+        )
+
     if config.get("device") == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent XLA compile cache: big fused programs compile in
+        # minutes cold over the axon tunnel but load warm in <1 s
+        # (utils/compile_cache.py; compile_cache=false disables)
+        cc = config.get("compile_cache")
+        if cc is None or bool(cc):
+            from recommendar_systems_tpu.utils.compile_cache import (
+                enable_compile_cache,
+            )
+
+            enable_compile_cache()
 
     # graph densification budget (see graph/sparse.py): adjacencies whose
     # dense f32 storage fits under this many MB propagate via MXU matmuls

@@ -134,10 +134,19 @@ class Trainer:
         # optional device mesh: DP over 'data', row-sharded tables over 'model'
         self.mesh = None
         if config.get("mesh_shape") or config.get("shard_embedding_tables"):
-            self.mesh = make_mesh(
-                config.get("mesh_shape"),
-                tuple(config.get("mesh_axis_names") or ("data", "model")),
-            )
+            axis_names = tuple(config.get("mesh_axis_names") or ("data", "model"))
+            if bool(config.get("multihost")):
+                # process-aware construction: 'model' axis kept intra-host
+                # so table-lookup all-gathers ride ICI (parallel/multihost.py)
+                from recommendar_systems_tpu.parallel.multihost import (
+                    make_multihost_mesh,
+                )
+
+                self.mesh = make_multihost_mesh(
+                    config.get("mesh_shape"), axis_names
+                )
+            else:
+                self.mesh = make_mesh(config.get("mesh_shape"), axis_names)
         # kernel dispatchers consult the active mesh to shard_map their
         # Pallas calls (GSPMD cannot partition an opaque custom call)
         from recommendar_systems_tpu.parallel.mesh import set_active_mesh
@@ -242,12 +251,27 @@ class Trainer:
         device arrays would be embedded as HLO constants, which the axon TPU
         backend cannot round-trip to host during lowering)."""
         d = self.data
-        return {
+        arrays = {
             "train_users": d.train_users,
             "train_items": d.train_items,
             "pos_indptr": d.pos_indptr,
             "pos_items": d.pos_items,
         }
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-process jit rejects host-local inputs: assemble GLOBAL
+            # replicated arrays from the per-host copies (every host builds
+            # the same DataBundle deterministically — docs/multihost.md)
+            from jax.sharding import PartitionSpec as P
+
+            from recommendar_systems_tpu.parallel.multihost import (
+                put_process_local_batch,
+            )
+
+            arrays = {
+                k: put_process_local_batch(np.asarray(v), self.mesh, P())
+                for k, v in arrays.items()
+            }
+        return arrays
 
     # ------------------------------------------------------- jitted epoch fn
     def _apply_loss(self, params, net_state, ctx, batch, k_drop, train=True):

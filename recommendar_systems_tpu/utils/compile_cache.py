@@ -1,0 +1,47 @@
+"""Persistent XLA compilation cache (VERDICT r2 item 1).
+
+The axon tunnel compiles large fused programs (SMORE's scanned train epoch)
+in many minutes cold; a persistent on-disk cache turns every later process'
+compile into a sub-second executable load (measured: 46.6 s cold -> 0.6 s
+warm for a probe program; the driver's watchdogged bench subprocesses and
+cross-round runs all hit the same cache).
+
+Verified on the axon backend: serialization, cache write and cache load all
+work — but ONLY with serial device access.  Two live tunnel clients can
+deadlock each other, so never enable the cache in a process that shares the
+chip with another live client (bench.py's candidate chain is strictly
+serial, which is the intended user).
+
+Env overrides: ``RECSYS_COMPILE_CACHE`` (cache dir; ``0``/``off`` disables),
+default ``<repo>/.jax_cache``.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    Must run before the first compilation.  Returns the directory used, or
+    None when disabled.  min_compile_time is forced to 0 because the tunnel
+    client measures near-zero local compile time for programs the server
+    spends minutes on — the default 1 s threshold would cache nothing.
+    """
+    env = os.environ.get("RECSYS_COMPILE_CACHE")
+    if env is not None and env.lower() in ("0", "off", "none", ""):
+        return None
+    if cache_dir is None:
+        cache_dir = env or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir

@@ -1,0 +1,179 @@
+"""Multi-host runtime unit tests (single process; VERDICT r2 item 3).
+
+N>=2 processes cannot execute in this environment (one physical chip), so
+these pin everything that IS testable in one process: the process-aware
+mesh-spanning logic (with stub devices spoofing process_index), the
+config->`jax.distributed.initialize` argument derivation, per-process data
+placement, the per-process batch slicing math, and the Trainer integration
+point (`multihost=true` end to end with process_count=1).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from recommendar_systems_tpu.parallel.multihost import (
+    initialize_from_config,
+    local_slice,
+    make_multihost_mesh,
+    process_device_grid,
+    put_process_local_batch,
+)
+
+
+class StubDev:
+    """Mimics a jax Device for the pure grid-construction function."""
+
+    def __init__(self, did, process_index):
+        self.id = did
+        self.process_index = process_index
+
+    def __repr__(self):
+        return f"d{self.id}p{self.process_index}"
+
+
+def _stub_slice(n_hosts, per_host):
+    return [
+        StubDev(h * per_host + i, h) for h in range(n_hosts) for i in range(per_host)
+    ]
+
+
+def test_grid_model_axis_intra_host():
+    # 4 hosts x 4 chips, mesh [8, 2]: every 'model' pair must be one host's
+    devs = _stub_slice(4, 4)
+    grid = process_device_grid(devs, 8, 2)
+    assert grid.shape == (8, 2)
+    for row in grid:
+        assert len({d.process_index for d in row}) == 1
+    # all devices used exactly once
+    assert sorted(d.id for d in grid.ravel()) == list(range(16))
+
+
+def test_grid_pure_dp_spans_hosts():
+    devs = _stub_slice(2, 4)
+    grid = process_device_grid(devs, 8, 1)
+    assert grid.shape == (8, 1)
+    assert sorted(d.id for d in grid.ravel()) == list(range(8))
+
+
+def test_grid_rejects_model_axis_across_hosts():
+    # 3 chips/host cannot carry a model axis of 2
+    devs = _stub_slice(2, 3)
+    with pytest.raises(ValueError, match="not divisible"):
+        process_device_grid(devs, 3, 2)
+
+
+def test_grid_rejects_wrong_total():
+    with pytest.raises(ValueError, match="devices"):
+        process_device_grid(_stub_slice(1, 4), 4, 2)
+
+
+def test_make_multihost_mesh_virtual_devices():
+    # all 8 virtual CPU devices are process 0: same result as make_mesh
+    mesh = make_multihost_mesh([4, 2])
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh_dp = make_multihost_mesh(None)
+    assert mesh_dp.shape["data"] == 8 and mesh_dp.shape["model"] == 1
+
+
+def test_initialize_noop_when_off():
+    assert initialize_from_config({}) is False
+    assert initialize_from_config({"multihost": False}) is False
+
+
+def test_initialize_arg_derivation(monkeypatch):
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    cfg = {
+        "multihost": True,
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }
+    assert initialize_from_config(cfg) is True
+    assert calls == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }
+
+
+def test_initialize_env_fallback(monkeypatch):
+    calls = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.update(kw)
+    )
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "h0:99")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    assert initialize_from_config({"multihost": True}) is True
+    assert calls == {
+        "coordinator_address": "h0:99", "num_processes": 2, "process_id": 1,
+    }
+
+
+def test_put_process_local_batch_replicated():
+    mesh = make_multihost_mesh([4, 2])
+    x = np.arange(24, dtype=np.int32)
+    arr = put_process_local_batch(x, mesh, P())
+    assert arr.shape == (24,)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert arr.sharding.is_fully_replicated
+
+
+def test_put_process_local_batch_data_sharded():
+    mesh = make_multihost_mesh([4, 2])
+    x = np.arange(32, dtype=np.float32).reshape(16, 2)
+    arr = put_process_local_batch(x, mesh, P("data", None))
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert not arr.sharding.is_fully_replicated
+
+
+def test_local_slice_math():
+    assert local_slice(10, process_index=0, process_count=1) == slice(0, 10)
+    assert local_slice(10, process_index=0, process_count=4) == slice(0, 2)
+    # remainder rows land on the last process
+    assert local_slice(10, process_index=3, process_count=4) == slice(6, 10)
+
+
+def test_trainer_multihost_single_process():
+    """`multihost=true` drives the Trainer through make_multihost_mesh and
+    the global-array data path (degenerate at process_count=1)."""
+    from recommendar_systems_tpu.data.arrays import build_data_bundle
+    from recommendar_systems_tpu.data.synthetic import generate_synthetic
+    from recommendar_systems_tpu.models import get_model
+    from recommendar_systems_tpu.train.trainer import Trainer
+
+    from conftest import make_config
+
+    ds = generate_synthetic(
+        n_users=80, n_items=48, n_inter=1200, v_dim=16, t_dim=16, seed=3
+    )
+    cfg = make_config(
+        "LightGCN",
+        epochs=2,
+        multihost=True,
+        mesh_shape=[4, 2],
+        shard_embedding_tables=True,
+        n_layers=2,
+        reg_weight=0.001,
+    )
+    for ax in cfg["hyper_parameters"]:
+        v = cfg[ax]
+        if isinstance(v, list) and v:
+            cfg[ax] = v[0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("LightGCN")
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    trainer = Trainer(cfg, model, ctx, data, mg=False)
+    trainer.init_state(3)
+    score, valid, test = trainer.fit(saved=False, verbose=False)
+    assert np.isfinite(score)
+    assert trainer.mesh.shape == {"data": 4, "model": 2}
