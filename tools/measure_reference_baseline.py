@@ -44,6 +44,32 @@ MODEL_OVERRIDES = {
     "LGMRec": {"n_ui_layers": 2, "n_mm_layers": 2, "n_hyper_layer": 1,
                "hyper_num": 4, "keep_rate": 0.5, "alpha": 0.3,
                "cl_weight": 1e-4, "reg_weight": 1e-6},
+    "MVGAE": {"learning_rate": 0.001, "beta": 0.1},
+    "MMGCN": {"reg_weight": 1e-4, "learning_rate": 0.001},
+    "LayerGCN": {"n_layers": 4, "dropout": 0.0, "reg_weight": 1e-2},
+    "PGL": {"dropout": 0.2, "reg_weight": 0.0, "mode": "local"},
+    "LightGCNCLIP": {"n_layers": 4, "reg_weight": 1e-2},
+    "SELFCFED_LGN": {"n_layers": 1, "dropout": 0.1, "reg_weight": 0.1},
+    "DRAGON": {"aggr_mode": "add", "reg_weight": 0.001,
+               "learning_rate": 0.001,
+               "user_graph_dict_file": "user_graph_dict.npy"},
+    "SMOREX": {"wiener_alpha": 0.5, "mg_enable": False},
+    "SMORE1": {"n_ui_layers": 4, "image_knn_k": 20, "text_knn_k": 15,
+               "reg_weight": 1e-5, "dropout_rate": 0.1, "mg_enable": False},
+    "SMOREMG": {"n_ui_layers": 4, "image_knn_k": 20, "text_knn_k": 15,
+                "reg_weight": 1e-5, "dropout_rate": 0.1},
+    "SMOREDiff": {"n_ui_layers": 4, "image_knn_k": 20, "text_knn_k": 15,
+                  "reg_weight": 1e-5, "dropout_rate": 0.1,
+                  "use_diffusion_mvp": True, "diff_beta": 0.2,
+                  "diff_only_down": True},
+    "SMOREDiffX": {"n_ui_layers": 4, "image_knn_k": 20, "text_knn_k": 15,
+                   "reg_weight": 1e-5, "dropout_rate": 0.1,
+                   "diff_beta": 0.2, "diff_only_down": True,
+                   "dsp_mode": "fft_mask", "noise_recipe_on": True,
+                   "w_edge": 1.0},
+    "BPR": {"reg_weight": 0.01},
+    "ItemKNNCBF": {"shrink": 10, "knn_k": 10},
+    "TEST": {"dropout": 0.8, "reg_weight": 1e-5},
 }
 
 _NEEDS_USER_GRAPH = ("MENTOR", "DualGNN", "DRAGON")
@@ -178,6 +204,13 @@ def main() -> None:
         mg=False,
     )
     wall = time.time() - t0
+    timing = "per-epoch training logs"
+    if not epoch_times and args.model == "ItemKNNCBF":
+        # non-parametric: req_training=False emits no training epochs; the
+        # whole quick_start wall (similarity build + full-catalog predict)
+        # is the comparable cost (VERDICT r2: "ItemKNNCBF-predict")
+        epoch_times = [wall]
+        timing = "wall (non-parametric similarity build + predict)"
     assert epoch_times, "no epoch timings captured from reference logs"
     # drop the first epoch (warm-up) when there are enough samples
     times = epoch_times[1:] if len(epoch_times) > 1 else epoch_times
@@ -196,6 +229,7 @@ def main() -> None:
         "epochs_timed": len(times),
         "host": "reference PyTorch on CPU (no CUDA in this image)",
         "wall_s": round(wall, 1),
+        "timing": timing,
     }
     with open(out_path, "w") as f:
         json.dump(measured, f, indent=2)

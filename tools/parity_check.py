@@ -106,7 +106,11 @@ def main() -> None:
     stub_torchvision()
     os.symlink("/root/reference/src/configs", os.path.join(work, "configs"))
     os.chdir(work)
-    sys.path.insert(0, "/root/reference/src")
+    # defeat hard-coded .cuda() + shim absent geometric deps so EVERY
+    # reference model runs on CPU (same shims as the parity unit tests)
+    from tests.ref_compat import install_ref_shims
+
+    install_ref_shims()
     logging.getLogger().handlers.clear()
     from utils.quick_start import quick_start as ref_qs  # reference module
 
