@@ -126,7 +126,10 @@ class GRCN(RecModel):
         # over the mask and no [U, I] materialization
         for _ in range(self.num_routing):
             if padded:
-                upd = masked_attention_auto(pref, features, mask)
+                # has_norm guarantees |scores| <= 1: the kernel may skip
+                # softmax max-stabilization (bounded=True)
+                upd = masked_attention_auto(pref, features, mask,
+                                            bounded=self.has_norm)
             else:
                 upd, _ = self._gat_dense(pref, features, mask)
             pref = pref + upd
@@ -460,10 +463,16 @@ class GRCN(RecModel):
                 )
                 egcn_knob = config.get("fused_egcn")
                 egcn_on = True if egcn_knob is None else bool(egcn_knob)
+                # the mega-kernel's unstabilized softmax requires bounded
+                # scores: only valid under has_norm (l2-normalized q/k,
+                # |s| <= 1 — the reference default); has_norm=False keeps
+                # the stabilized unfused dense path
+                has_norm = bool(cfg_scalar(config, "has_norm", True))
                 # the dual-direction mega-kernel has no sharded form yet;
                 # under a mesh GRCN keeps the (sharded) masked-attention
                 # routing and GSPMD-partitioned dense towers
-                if grcn_fused.fits_vmem(up, ip, c, d) and not under_mesh and egcn_on:
+                if (grcn_fused.fits_vmem(up, ip, c, d) and not under_mesh
+                        and egcn_on and has_norm):
                     ctx["fused_egcn"] = True
             # edge multiplicity counts stored int8 (exact; counts are tiny)
             # — a quarter of the f32 HBM bytes on every masked-softmax pass

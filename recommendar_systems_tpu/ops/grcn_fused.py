@@ -14,21 +14,37 @@ matrix ``s_m = pref_m @ feat_m.T`` of each modality FOUR ways:
     hi   = wi.T @ zu                               # EGCN hop (items)
 
 XLA materializes every [U, I] intermediate in HBM (~270 MB each at baby
-scale) and the step is purely HBM-bound.  The key fact this kernel exploits:
-the item-side attention uses the SAME score matrix transposed, so a single
-grid over user-row tiles serves both directions — the row softmax is
-self-contained per tile, and the column softmax uses column max/denominator
-statistics precomputed by one online pass (``dual_colstats``).  All
-cross-tile accumulators live on the small item axis ([I, c] / [I, d] f32 in
-VMEM), so nothing [U, I]-sized ever touches HBM except the reads of ``mask``
-itself: 2 passes forward (stats + compute; the hop-2 call reuses the saved
-stats for 1 more), 3 passes backward (D-vector pre-pass + one per modality).
+scale) and the step is purely HBM-bound.  Two key facts this kernel
+exploits:
+
+1. The item-side attention uses the SAME score matrix transposed, so a
+   single grid over user-row tiles serves both directions — all cross-tile
+   accumulators live on the small item axis in VMEM and nothing
+   [U, I]-sized ever touches HBM except streaming reads of ``mask``.
+2. **Bounded scores need no max-stabilized softmax.**  GRCN l2-normalizes
+   ``pref``/``feat`` (``has_norm``, the reference default at
+   `grcn.py:55-58`), so ``|s| <= 1`` and ``e = mask * exp(s)`` is computed
+   ONCE per modality per pass and serves BOTH directions exactly:
+   ``pu = e / rowsum(e)`` and ``pi = e / colsum(e)`` (the max subtraction
+   is a pure rescale that cancels in the ratio).  This quarters the
+   VPU-transcendental work per pass — the measured binding constraint of
+   the v1 kernels (PARITY.md: 11% of the streaming roofline, VPU-bound
+   masked-softmax recompute).  The kernels therefore REQUIRE bounded
+   scores (|s| < ~80 keeps f32 exp finite); the model gates the fused path
+   on ``has_norm`` and the unfused dense path handles the rest.
+
+Pass structure per training step (v1 -> v2):
+  forward : stats + hop1 + hop2 (unchanged count; each pass now does 2
+            exps instead of 4 softmax exps + 2 online-max updates)
+  backward: D-vector pre-pass + ONE fused both-modality pass
+            (v1 ran one pass per modality; the scores, exps and the shared
+            ``dwu``/``dwi`` cotangent matmuls were recomputed in each).
 
 Gradient notes (custom VJP, recompute-everything flash style):
-  - the column stats are a redundant parametrization of the softmax: the
-    backward implements the full analytic softmax Jacobian through q/k, and
-    the stats input gets zero cotangent (standard flash-attention residual
-    treatment).
+  - the column denominators are a redundant parametrization of the
+    softmax: the backward implements the full analytic softmax Jacobian
+    through q/k, and the stats input gets zero cotangent (standard
+    flash-attention residual treatment).
   - col-softmax backward needs the full-column reduction
     ``D_m[i] = sum_u pi_m * dpi_m`` — unavailable per row tile, hence the
     dedicated pre-pass.
@@ -43,11 +59,12 @@ Layout conventions: everything is stored [U, I]-shaped (the item-side
 quantities are the transposes); per-user confidences and ``zu`` stream
 together as [U, 128] tiles (cols 0/1 = confidences, 2:2+d = zu); per-item
 confidences sit resident as [8, I] f32 rows 0/1; the column stats pack as
-[8, I] f32 rows (0 = cmax_1, 1 = cden_1, 2 = cmax_2, 3 = cden_2).  Shapes
-must be tile-padded: U % block_u == 0, I % 128 == 0 (zero mask rows /
-columns are inert).  ``mask`` holds int8 edge-multiplicity counts (bf16
-also accepted); softmax and accumulation are f32; the MXU sees bf16
-operands (the rounding XLA's default matmul precision applies anyway).
+[8, I] f32 rows (0 = cden_1, 1 = cden_2, rows 2-7 duplicates so the pack
+stays fully initialized), and the backward D pack mirrors it.  Shapes must
+be tile-padded: U % block_u == 0, I % 128 == 0 (zero mask rows / columns
+are inert).  ``mask`` holds int8 edge-multiplicity counts (bf16 also
+accepted); exp and accumulation are f32; the MXU sees bf16 operands (the
+rounding XLA's default matmul precision applies anyway).
 """
 
 from __future__ import annotations
@@ -60,13 +77,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = -1e30
 # Mosaic's default scoped-VMEM limit is 16 MiB, far below the v5e's 128 MiB
 # physical VMEM; these kernels keep the item-axis accumulators resident and
 # carry several [bu, I] f32 stack temporaries, so they ask for a raised limit
 # and size row blocks against a budget that leaves 2x headroom under it.
 _VMEM_LIMIT = 96 * 2**20
 _VMEM_BUDGET = 48 * 2**20
+_EPS = 1e-16
 
 
 def _mask_zero_cotangent(mask):
@@ -82,20 +99,18 @@ def _scores(q_ref, k):
     )
 
 
-def _row_softmax(s, m):
-    masked = jnp.where(m > 0, s, _NEG)
-    mx = jnp.max(masked, axis=1, keepdims=True)
-    mx = jnp.where(mx > _NEG / 2, mx, 0.0)
-    e = m * jnp.exp(masked - mx)
-    den = jnp.sum(e, axis=1, keepdims=True)
-    return e / jnp.maximum(den, 1e-16)
+def _exp_masked(s, m):
+    """``m * exp(s)`` — the single transcendental per modality per pass.
+    Requires bounded s (see module docstring); masked entries are exact 0."""
+    return m * jnp.exp(s)
 
 
-def _col_softmax(s, m, cmx, cden):
-    """Column softmax from precomputed stats; cmx/cden are [1, I]."""
-    mx = jnp.where(cmx > _NEG / 2, cmx, 0.0)
-    e = m * jnp.where(m > 0, jnp.exp(s - mx), 0.0)
-    return e / jnp.maximum(cden, 1e-16)
+def _row_norm(e):
+    return e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), _EPS)
+
+
+def _col_norm(e, cden):
+    return e / jnp.maximum(cden, _EPS)
 
 
 def _stage(rsrc, rdst, sem):
@@ -110,12 +125,12 @@ def _relu_max(g1, g2):
 
 
 # ---------------------------------------------------------------------------
-# Column statistics (online, one mask pass)
+# Column statistics (one mask pass: plain column sums of e)
 # ---------------------------------------------------------------------------
 
 
 def _stats_kernel(q1_ref, q2_ref, mask_ref, k1_any, k2_any, stats_ref,
-                  k1_v, k2_v, mx1, den1, mx2, den2, pack, sems):
+                  k1_v, k2_v, den1, den2, pack, sems):
     r = pl.program_id(0)
     n_r = pl.num_programs(0)
 
@@ -123,41 +138,30 @@ def _stats_kernel(q1_ref, q2_ref, mask_ref, k1_any, k2_any, stats_ref,
     def _():
         _stage(k1_any, k1_v, sems.at[0])
         _stage(k2_any, k2_v, sems.at[1])
-        mx1[:] = jnp.full_like(mx1[:], _NEG)
         den1[:] = jnp.zeros_like(den1[:])
-        mx2[:] = jnp.full_like(mx2[:], _NEG)
         den2[:] = jnp.zeros_like(den2[:])
 
     m = mask_ref[:].astype(jnp.float32)
-
-    def _update(s, mx, den):
-        masked = jnp.where(m > 0, s, _NEG)
-        tm = jnp.max(masked, axis=0, keepdims=True)
-        old = mx[:]
-        new = jnp.maximum(old, tm)
-        e = m * jnp.where(m > 0, jnp.exp(masked - new), 0.0)
-        den[:] = den[:] * jnp.exp(old - new) + jnp.sum(e, axis=0,
-                                                       keepdims=True)
-        mx[:] = new
-
-    _update(_scores(q1_ref, k1_v[:]), mx1, den1)
-    _update(_scores(q2_ref, k2_v[:]), mx2, den2)
+    e1 = _exp_masked(_scores(q1_ref, k1_v[:]), m)
+    e2 = _exp_masked(_scores(q2_ref, k2_v[:]), m)
+    den1[:] = den1[:] + jnp.sum(e1, axis=0, keepdims=True)
+    den2[:] = den2[:] + jnp.sum(e2, axis=0, keepdims=True)
 
     # HBM memrefs tile dim 0 by 8 — a (1, I) row DMA is illegal, so the
     # row vectors are packed into one (8, I) VMEM tile and copied whole
     @pl.when(r == n_r - 1)
     def _():
         pack[:] = jnp.concatenate(
-            [mx1[:], den1[:], mx2[:], den2[:],
-             mx1[:], den1[:], mx2[:], den2[:]], axis=0
+            [den1[:], den2[:], den1[:], den2[:],
+             den1[:], den2[:], den1[:], den2[:]], axis=0
         )
         _stage(pack, stats_ref, sems.at[2])
 
 
 @jax.custom_vjp
 def dual_colstats(q1, k1, q2, k2, mask):
-    """[8, I] f32 column max/denominator rows for both modalities
-    (rows 4-7 repeat 0-3 so the pack stays fully initialized).
+    """[8, I] f32 column softmax denominators, rows 0/1 = modality 1/2
+    (rows 2-7 repeat so the pack stays fully initialized).
 
     Non-differentiable by construction (zero cotangents): the stats are a
     redundant parametrization of the column softmax and ``gated_dual_hop``'s
@@ -183,7 +187,7 @@ def _colstats_impl(q1, k1, q2, k2, mask):
     U, I = mask.shape
     c = q1.shape[1]
     interpret = jax.default_backend() == "cpu"
-    bu = _pick_block(U, I, n_f32=3, fixed=I * c * 2 * 2 + I * 4 * 4,
+    bu = _pick_block(U, I, n_f32=3, fixed=I * c * 2 * 2 + I * 4 * 2,
                      mask_itemsize=mask.dtype.itemsize)
     qspec = pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -201,8 +205,6 @@ def _colstats_impl(q1, k1, q2, k2, mask):
         scratch_shapes=[
             pltpu.VMEM((I, c), jnp.bfloat16),
             pltpu.VMEM((I, c), jnp.bfloat16),
-            pltpu.VMEM((1, I), jnp.float32),
-            pltpu.VMEM((1, I), jnp.float32),
             pltpu.VMEM((1, I), jnp.float32),
             pltpu.VMEM((1, I), jnp.float32),
             pltpu.VMEM((8, I), jnp.float32),
@@ -241,10 +243,10 @@ def _fwd_kernel(with_outs, q1_ref, q2_ref, mask_ref, cu_ref, stats_ref,
     d = zi_v.shape[1]
     zu_tile = cuv[:, 2 : 2 + d].astype(jnp.bfloat16)
 
-    s1 = _scores(q1_ref, k1_v[:])
-    s2 = _scores(q2_ref, k2_v[:])
-    pu1 = _row_softmax(s1, m)
-    pu2 = _row_softmax(s2, m)
+    e1 = _exp_masked(_scores(q1_ref, k1_v[:]), m)
+    e2 = _exp_masked(_scores(q2_ref, k2_v[:]), m)
+    pu1 = _row_norm(e1)
+    pu2 = _row_norm(e2)
     if with_outs:
         ou1_ref[:] = jnp.dot(pu1.astype(jnp.bfloat16), k1_v[:],
                              preferred_element_type=jnp.float32)
@@ -254,8 +256,8 @@ def _fwd_kernel(with_outs, q1_ref, q2_ref, mask_ref, cu_ref, stats_ref,
     hu_ref[:] = jnp.dot(wu.astype(jnp.bfloat16), zi_v[:],
                         preferred_element_type=jnp.float32)
 
-    pi1 = _col_softmax(s1, m, st[0:1, :], st[1:2, :])
-    pi2 = _col_softmax(s2, m, st[2:3, :], st[3:4, :])
+    pi1 = _col_norm(e1, st[0:1, :])
+    pi2 = _col_norm(e2, st[1:2, :])
     wi = _relu_max(pi1 * cuv[:, 0:1], pi2 * cuv[:, 1:2])
     hi_c = jax.lax.dot_general(
         wi.astype(jnp.bfloat16), zu_tile,
@@ -297,7 +299,7 @@ def _fwd_kernel(with_outs, q1_ref, q2_ref, mask_ref, cu_ref, stats_ref,
 
 
 # ---------------------------------------------------------------------------
-# Backward: D pre-pass (both modalities) + one pass per modality
+# Backward: D pre-pass (both modalities) + ONE fused both-modality pass
 # ---------------------------------------------------------------------------
 
 
@@ -327,10 +329,10 @@ def _dpre_kernel(q1_ref, q2_ref, mask_ref, cu_ref, stats_ref, ci_ref,
     d = zi_v.shape[1]
     zu_tile = cuv[:, 2 : 2 + d].astype(jnp.bfloat16)
 
-    s1 = _scores(q1_ref, k1_v[:])
-    s2 = _scores(q2_ref, k2_v[:])
-    pi1 = _col_softmax(s1, m, st[0:1, :], st[1:2, :])
-    pi2 = _col_softmax(s2, m, st[2:3, :], st[3:4, :])
+    e1 = _exp_masked(_scores(q1_ref, k1_v[:]), m)
+    e2 = _exp_masked(_scores(q2_ref, k2_v[:]), m)
+    pi1 = _col_norm(e1, st[0:1, :])
+    pi2 = _col_norm(e2, st[1:2, :])
     g1i = pi1 * cu1
     g2i = pi2 * cu2
     wi = _relu_max(g1i, g2i)
@@ -360,8 +362,8 @@ def _dpre_kernel(q1_ref, q2_ref, mask_ref, cu_ref, stats_ref, ci_ref,
                          preferred_element_type=jnp.float32)
 
     # dzi (accumulated) = wu.T @ ghu
-    pu1 = _row_softmax(s1, m)
-    pu2 = _row_softmax(s2, m)
+    pu1 = _row_norm(e1)
+    pu2 = _row_norm(e2)
     wu = _relu_max(pu1 * civ[0:1, :], pu2 * civ[1:2, :])
     dzi_c = jax.lax.dot_general(
         wu.astype(jnp.bfloat16), ghu_ref[:].astype(jnp.bfloat16),
@@ -381,26 +383,28 @@ def _dpre_kernel(q1_ref, q2_ref, mask_ref, cu_ref, stats_ref, ci_ref,
         d2_acc[:] = d2_acc[:] + d2_c
         dzi_acc[:] = dzi_acc[:] + dzi_c
 
-    # layout matches _swap_rows2: rows 0-1 = modality 1, rows 2-3 = modality 2
-    # (packed into one (8, I) tile — HBM row DMAs must be 8-row aligned)
+    # rows 0/1 = D of modality 1/2 (packed into one (8, I) tile — HBM row
+    # DMAs must be 8-row aligned)
     @pl.when(r == n_r - 1)
     def _():
         dpack[:] = jnp.concatenate(
-            [d1_acc[:], d1_acc[:], d2_acc[:], d2_acc[:],
-             d1_acc[:], d1_acc[:], d2_acc[:], d2_acc[:]], axis=0
+            [d1_acc[:], d2_acc[:], d1_acc[:], d2_acc[:],
+             d1_acc[:], d2_acc[:], d1_acc[:], d2_acc[:]], axis=0
         )
         _stage(dpack, dvec_ref, sems.at[6])
         _stage(dzi_acc, dzi_any, sems.at[7])
 
 
-def _gmod_kernel(with_outs, tie_first, q1_ref, q2_ref, mask_ref, cu_ref,
-                 stats_ref, ci_ref, dvec_ref, ghu_ref, gou_ref,
-                 k1_any, k2_any, zi_any, goi_any, ghi_any,
-                 dq_ref, dcu_ref, dk_any, dci_ref,
-                 k1_v, k2_v, zi_v, goi_v, ghi_v, dk_acc, dci_acc, sems):
-    """Gradients for the FIRST modality of the argument order; the caller
-    swaps (q1, k1) <-> (q2, k2), the confidence/stats/D rows, and the
-    cotangents to run modality 2."""
+def _gmod_both_kernel(with_outs, q1_ref, q2_ref, mask_ref, cu_ref,
+                      stats_ref, ci_ref, dvec_ref, ghu_ref,
+                      gou1_ref, gou2_ref,
+                      k1_any, k2_any, zi_any, goi1_any, goi2_any, ghi_any,
+                      dq1_ref, dq2_ref, dcu_ref, dk1_any, dk2_any, dci_ref,
+                      k1_v, k2_v, zi_v, goi1_v, goi2_v, ghi_v,
+                      dk1_acc, dk2_acc, dci_acc, sems):
+    """Gradients for BOTH modalities in one pass: the scores/exps and the
+    shared gate cotangents ``dwu``/``dwi`` are computed once (v1 ran a
+    per-modality pass and recomputed all of them)."""
     r = pl.program_id(0)
     n_r = pl.num_programs(0)
 
@@ -409,8 +413,9 @@ def _gmod_kernel(with_outs, tie_first, q1_ref, q2_ref, mask_ref, cu_ref,
         _stage(k1_any, k1_v, sems.at[0])
         _stage(k2_any, k2_v, sems.at[1])
         _stage(zi_any, zi_v, sems.at[2])
-        _stage(goi_any, goi_v, sems.at[3])
-        _stage(ghi_any, ghi_v, sems.at[4])
+        _stage(goi1_any, goi1_v, sems.at[3])
+        _stage(goi2_any, goi2_v, sems.at[4])
+        _stage(ghi_any, ghi_v, sems.at[5])
 
     m = mask_ref[:].astype(jnp.float32)
     st = stats_ref[:]
@@ -423,89 +428,117 @@ def _gmod_kernel(with_outs, tie_first, q1_ref, q2_ref, mask_ref, cu_ref,
     d = zi_v.shape[1]
     zu_tile = cuv[:, 2 : 2 + d].astype(jnp.bfloat16)
 
-    s1 = _scores(q1_ref, k1_v[:])
-    s2 = _scores(q2_ref, k2_v[:])
-    pu1 = _row_softmax(s1, m)
-    pu2 = _row_softmax(s2, m)
-    pi1 = _col_softmax(s1, m, st[0:1, :], st[1:2, :])
-    pi2 = _col_softmax(s2, m, st[2:3, :], st[3:4, :])
+    e1 = _exp_masked(_scores(q1_ref, k1_v[:]), m)
+    e2 = _exp_masked(_scores(q2_ref, k2_v[:]), m)
+    pu1 = _row_norm(e1)
+    pu2 = _row_norm(e2)
+    pi1 = _col_norm(e1, st[0:1, :])
+    pi2 = _col_norm(e2, st[1:2, :])
 
-    # --- user-side gate routing for this modality
-    g1u = pu1 * ci1
-    g2u = pu2 * ci2
-    live_u = jnp.maximum(g1u, g2u) > 0
+    # --- shared gate cotangents (identical for both modalities)
     dwu = jax.lax.dot_general(
         ghu_ref[:].astype(jnp.bfloat16), zi_v[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    win_u = (g1u >= g2u) if tie_first else (g1u > g2u)
-    dg1u = jnp.where(live_u & win_u, dwu, 0.0)
-    dci_c = jnp.sum(dg1u * pu1, axis=0, keepdims=True)
-
-    # --- item-side gate routing for this modality
-    g1i = pi1 * cu1
-    g2i = pi2 * cu2
-    live_i = jnp.maximum(g1i, g2i) > 0
     dwi = jax.lax.dot_general(
         zu_tile, ghi_v[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    win_i = (g1i >= g2i) if tie_first else (g1i > g2i)
-    dg1i = jnp.where(live_i & win_i, dwi, 0.0)
-    dcu_c = jnp.sum(dg1i * pi1, axis=1, keepdims=True)
-    dcu_ref[:] = jnp.broadcast_to(dcu_c, dcu_ref.shape)
 
-    # --- softmax Jacobians (row side in-tile, column side via D vector)
-    dpu = dg1u * ci1
-    if with_outs:
-        dpu = dpu + jax.lax.dot_general(
-            gou_ref[:].astype(jnp.bfloat16), k1_v[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    dsu = pu1 * (dpu - jnp.sum(dpu * pu1, axis=1, keepdims=True))
+    # --- user-side gate routing (ties -> modality 1)
+    g1u = pu1 * ci1
+    g2u = pu2 * ci2
+    live_u = jnp.maximum(g1u, g2u) > 0
+    win1_u = g1u >= g2u
+    dg1u = jnp.where(live_u & win1_u, dwu, 0.0)
+    dg2u = jnp.where(live_u & (~win1_u), dwu, 0.0)
+    dci1_c = jnp.sum(dg1u * pu1, axis=0, keepdims=True)
+    dci2_c = jnp.sum(dg2u * pu2, axis=0, keepdims=True)
 
-    dpi = dg1i * cu1
-    if with_outs:
-        dpi = dpi + jax.lax.dot_general(
-            q1_ref[:], goi_v[:], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    dsi = pi1 * (dpi - dvec_ref[:][0:1, :])
-    ds = (dsu + dsi).astype(jnp.bfloat16)
-
-    dq = jnp.dot(ds, k1_v[:], preferred_element_type=jnp.float32)
-    if with_outs:
-        dq = dq + jnp.dot(pi1.astype(jnp.bfloat16), goi_v[:],
-                          preferred_element_type=jnp.float32)
-    dq_ref[:] = dq
-
-    dk_c = jax.lax.dot_general(
-        ds, q1_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    # --- item-side gate routing
+    g1i = pi1 * cu1
+    g2i = pi2 * cu2
+    live_i = jnp.maximum(g1i, g2i) > 0
+    win1_i = g1i >= g2i
+    dg1i = jnp.where(live_i & win1_i, dwi, 0.0)
+    dg2i = jnp.where(live_i & (~win1_i), dwi, 0.0)
+    dcu1_c = jnp.sum(dg1i * pi1, axis=1, keepdims=True)
+    dcu2_c = jnp.sum(dg2i * pi2, axis=1, keepdims=True)
+    dcu_ref[:] = jnp.concatenate(
+        [jnp.broadcast_to(dcu1_c, (dcu1_c.shape[0], 64)),
+         jnp.broadcast_to(dcu2_c, (dcu2_c.shape[0], 64))], axis=1
     )
-    if with_outs:
-        dk_c = dk_c + jax.lax.dot_general(
-            pu1.astype(jnp.bfloat16), gou_ref[:].astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+
+    def modality(pu, pi, dg_u, dg_i, ci_m, cu_m, dvec_row, k_v, gou_ref_m,
+                 goi_v_m, q_ref_m):
+        # row softmax Jacobian in-tile, column side via D vector
+        dpu = dg_u * ci_m
+        if with_outs:
+            dpu = dpu + jax.lax.dot_general(
+                gou_ref_m[:].astype(jnp.bfloat16), k_v[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dsu = pu * (dpu - jnp.sum(dpu * pu, axis=1, keepdims=True))
+
+        dpi = dg_i * cu_m
+        if with_outs:
+            dpi = dpi + jax.lax.dot_general(
+                q_ref_m[:], goi_v_m[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dsi = pi * (dpi - dvec_row)
+        ds = (dsu + dsi).astype(jnp.bfloat16)
+
+        dq = jnp.dot(ds, k_v[:], preferred_element_type=jnp.float32)
+        if with_outs:
+            dq = dq + jnp.dot(pi.astype(jnp.bfloat16), goi_v_m[:],
+                              preferred_element_type=jnp.float32)
+        dk_c = jax.lax.dot_general(
+            ds, q_ref_m[:], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if with_outs:
+            dk_c = dk_c + jax.lax.dot_general(
+                pu.astype(jnp.bfloat16), gou_ref_m[:].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return dq, dk_c
+
+    dv = dvec_ref[:]
+    dq1, dk1_c = modality(pu1, pi1, dg1u, dg1i, ci1, cu1, dv[0:1, :],
+                          k1_v, gou1_ref, goi1_v, q1_ref)
+    dq2, dk2_c = modality(pu2, pi2, dg2u, dg2i, ci2, cu2, dv[1:2, :],
+                          k2_v, gou2_ref, goi2_v, q2_ref)
+    dq1_ref[:] = dq1
+    dq2_ref[:] = dq2
 
     @pl.when(r == 0)
     def _():
-        dk_acc[:] = dk_c
-        dci_acc[:] = dci_c
+        dk1_acc[:] = dk1_c
+        dk2_acc[:] = dk2_c
+        dci_acc[:] = jnp.concatenate(
+            [dci1_c, dci2_c, dci1_c, dci2_c,
+             dci1_c, dci2_c, dci1_c, dci2_c], axis=0
+        )
 
     @pl.when(r > 0)
     def _():
-        dk_acc[:] = dk_acc[:] + dk_c
-        dci_acc[:] = dci_acc[:] + dci_c
+        dk1_acc[:] = dk1_acc[:] + dk1_c
+        dk2_acc[:] = dk2_acc[:] + dk2_c
+        dci_acc[:] = dci_acc[:] + jnp.concatenate(
+            [dci1_c, dci2_c, dci1_c, dci2_c,
+             dci1_c, dci2_c, dci1_c, dci2_c], axis=0
+        )
 
     @pl.when(r == n_r - 1)
     def _():
-        _stage(dk_acc, dk_any, sems.at[5])
-        _stage(dci_acc, dci_ref, sems.at[6])
+        _stage(dk1_acc, dk1_any, sems.at[6])
+        _stage(dk2_acc, dk2_any, sems.at[7])
+        _stage(dci_acc, dci_ref, sems.at[8])
 
 
 # ---------------------------------------------------------------------------
@@ -525,14 +558,15 @@ def _pick_block(U: int, I: int, n_f32: int, fixed: int,
 
 
 def _gmod_fixed(I: int, c: int, d: int) -> int:
-    # resident k1/k2/zi/goi/ghi (bf16) + dk accumulator (f32) + vectors
-    return I * c * 2 * 3 + I * d * 2 * 2 + I * c * 4 + I * 4 * 16
+    # resident k1/k2/zi/goi1/goi2/ghi (bf16) + dk1/dk2 accumulators (f32)
+    # + dci pack + vectors
+    return I * c * 2 * 4 + I * d * 2 * 2 + I * c * 4 * 2 + I * 4 * 16
 
 
 def fits_vmem(U: int, I: int, c: int, d: int) -> bool:
-    """True when the heaviest launch (per-modality backward) fits with the
-    minimal row tile."""
-    per_row = I * 1 * 3 + I * 4 * 7 + 128 * 4 * 8
+    """True when the heaviest launch (fused both-modality backward) fits
+    with the minimal row tile."""
+    per_row = I * 1 * 3 + I * 4 * 12 + 128 * 4 * 8
     return (
         _gmod_fixed(I, c, d) + 8 * per_row <= _VMEM_BUDGET
         and U % 8 == 0
@@ -561,11 +595,6 @@ def _ci_rows(ci: jnp.ndarray, I: int) -> jnp.ndarray:
     return z.at[0:2, :].set(ci.T.astype(jnp.float32))
 
 
-def _swap_rows2(pack):
-    """Swap the modality-1 / modality-2 row pairs of an [8, I] pack."""
-    return jnp.concatenate([pack[2:4], pack[0:2], pack[4:8]], axis=0)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
 def gated_dual_hop(q1, k1, q2, k2, cu, ci, zu, zi, stats, mask,
                    with_outs=True):
@@ -573,7 +602,8 @@ def gated_dual_hop(q1, k1, q2, k2, cu, ci, zu, zi, stats, mask,
 
     q_m: [U, c]; k_m: [I, c]; cu: [U, 2]; ci: [I, 2]; zu: [U, d]; zi: [I, d]
     (d <= 126); stats: [8, I] from ``dual_colstats`` (zero cotangent); mask:
-    [U, I] int8/bf16 multiplicity counts (constant).  with_outs=False skips
+    [U, I] int8/bf16 multiplicity counts (constant).  Scores must be
+    bounded (l2-normalized q/k — GRCN ``has_norm``).  with_outs=False skips
     the four attention outputs (their values are then undefined) — used for
     the second EGCN hop, whose attention outputs are discarded.
     """
@@ -721,76 +751,68 @@ def _vjp_bwd(with_outs, res, cots):
     )(q1b, q2b, mask, packed, stats, ci_r, ghu32,
       k1b, k2b, zib, goi1_b, goi2_b, ghi_b)
 
-    # --- per-modality passes -------------------------------------------------
-    def _modality(tie_first, qa, qb_, ka, kb_, stats_m, dvec_m, ci_m,
-                  cu_packed, gou_m, goi_m):
-        bum = _pick_block(U, I, n_f32=7, fixed=_gmod_fixed(I, c, d),
-                          mask_itemsize=mask.dtype.itemsize)
-        return pl.pallas_call(
-            functools.partial(_gmod_kernel, with_outs, tie_first),
-            grid=(U // bum,),
-            in_specs=[
-                _tile(bum, c),
-                _tile(bum, c),
-                pl.BlockSpec((bum, I), lambda r: (r, 0),
-                             memory_space=pltpu.VMEM),
-                _tile(bum, 128),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                _tile(bum, d),
-                _tile(bum, c),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                _tile(bum, c),
-                _tile(bum, 128),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((U, c), jnp.float32),
-                jax.ShapeDtypeStruct((U, 128), jnp.float32),
-                jax.ShapeDtypeStruct((I, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, I), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((I, c), jnp.bfloat16),
-                pltpu.VMEM((I, c), jnp.bfloat16),
-                pltpu.VMEM((I, d), jnp.bfloat16),
-                pltpu.VMEM((I, c), jnp.bfloat16),
-                pltpu.VMEM((I, d), jnp.bfloat16),
-                pltpu.VMEM((I, c), jnp.float32),
-                pltpu.VMEM((1, I), jnp.float32),
-                pltpu.SemaphoreType.DMA((7,)),
-            ],
-            compiler_params=pltpu.CompilerParams(
+    # --- fused both-modality pass -------------------------------------------
+    bum = _pick_block(U, I, n_f32=12, fixed=_gmod_fixed(I, c, d),
+                      mask_itemsize=mask.dtype.itemsize)
+    dq1, dq2, dcu_pack, dk1, dk2, dci_pack = pl.pallas_call(
+        functools.partial(_gmod_both_kernel, with_outs),
+        grid=(U // bum,),
+        in_specs=[
+            _tile(bum, c),
+            _tile(bum, c),
+            pl.BlockSpec((bum, I), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            _tile(bum, 128),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _tile(bum, d),
+            _tile(bum, c),
+            _tile(bum, c),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            _tile(bum, c),
+            _tile(bum, c),
+            _tile(bum, 128),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+            jax.ShapeDtypeStruct((U, 128), jnp.float32),
+            jax.ShapeDtypeStruct((I, c), jnp.float32),
+            jax.ShapeDtypeStruct((I, c), jnp.float32),
+            jax.ShapeDtypeStruct((8, I), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, d), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, d), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.float32),
+            pltpu.VMEM((I, c), jnp.float32),
+            pltpu.VMEM((8, I), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
-            interpret=interpret,
-        )(qa, qb_, mask, cu_packed, stats_m, ci_m, dvec_m,
-          ghu32, gou_m.astype(jnp.float32),
-          ka, kb_, zib, goi_m, ghi_b)
+        interpret=interpret,
+    )(q1b, q2b, mask, packed, stats, ci_r, dvec,
+      ghu32, gou1.astype(jnp.float32), gou2.astype(jnp.float32),
+      k1b, k2b, zib, goi1_b, goi2_b, ghi_b)
 
-    dq1, dcu1_t, dk1, dci1 = _modality(
-        True, q1b, q2b, k1b, k2b, stats, dvec, ci_r, packed, gou1, goi1_b
-    )
-    # modality 2: swap every per-modality pack (ties route to modality 1,
-    # so this pass uses the strict comparison)
-    packed2 = jnp.concatenate(
-        [packed[:, 1:2], packed[:, 0:1], packed[:, 2:]], axis=1
-    )
-    ci_r2 = jnp.concatenate([ci_r[1:2], ci_r[0:1], ci_r[2:8]], axis=0)
-    dq2, dcu2_t, dk2, dci2 = _modality(
-        False, q2b, q1b, k2b, k1b, _swap_rows2(stats), _swap_rows2(dvec),
-        ci_r2, packed2, gou2, goi2_b
-    )
-
-    dcu = jnp.stack([dcu1_t[:, 0], dcu2_t[:, 0]], axis=1).astype(cu.dtype)
-    dci = jnp.stack([dci1[0], dci2[0]], axis=1).astype(ci.dtype)
+    dcu = jnp.stack([dcu_pack[:, 0], dcu_pack[:, 64]], axis=1).astype(cu.dtype)
+    dci = jnp.stack([dci_pack[0], dci_pack[1]], axis=1).astype(ci.dtype)
     return (
         dq1.astype(q1.dtype), dk1.astype(k1.dtype),
         dq2.astype(q2.dtype), dk2.astype(k2.dtype),

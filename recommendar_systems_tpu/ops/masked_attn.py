@@ -53,17 +53,26 @@ def fused_attn_enabled() -> bool:
     return _ENABLED
 
 
-def _softmax_tile(s, m):
-    """Row masked-softmax of an f32 score tile with multiplicity mask m."""
-    masked = jnp.where(m > 0, s, _NEG)
-    mx = jnp.max(masked, axis=1, keepdims=True)
-    mx = jnp.where(mx > _NEG / 2, mx, 0.0)  # empty rows: exp(s-0) is finite
-    e = m * jnp.exp(masked - mx)
+def _softmax_tile(s, m, bounded=False):
+    """Row masked-softmax of an f32 score tile with multiplicity mask m.
+
+    ``bounded=True`` skips the max-stabilization (a pure rescale that
+    cancels in the ratio): valid whenever scores are bounded well inside
+    f32 exp range — GRCN's ``has_norm`` l2-normalizes q/k so |s| <= 1.
+    Saves the row max-reduce and two selects per tile on the VPU, the
+    measured bottleneck of these kernels (PARITY.md GRCN closure)."""
+    if bounded:
+        e = m * jnp.exp(s)
+    else:
+        masked = jnp.where(m > 0, s, _NEG)
+        mx = jnp.max(masked, axis=1, keepdims=True)
+        mx = jnp.where(mx > _NEG / 2, mx, 0.0)  # empty rows: finite exp
+        e = m * jnp.exp(masked - mx)
     den = jnp.sum(e, axis=1, keepdims=True)
     return e / jnp.maximum(den, 1e-16)
 
 
-def _fwd_kernel(q_ref, mask_ref, k_any, out_ref, k_vmem, sem):
+def _fwd_kernel(bounded, q_ref, mask_ref, k_any, out_ref, k_vmem, sem):
     r = pl.program_id(0)
 
     @pl.when(r == 0)
@@ -77,13 +86,13 @@ def _fwd_kernel(q_ref, mask_ref, k_any, out_ref, k_vmem, sem):
         q_ref[:], k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = _softmax_tile(s, mask_ref[:].astype(jnp.float32))
+    p = _softmax_tile(s, mask_ref[:].astype(jnp.float32), bounded)
     out_ref[:] = jnp.dot(
         p.astype(jnp.bfloat16), k, preferred_element_type=jnp.float32
     )
 
 
-def _bwd_kernel(q_ref, mask_ref, g_ref, out_ref, k_any,
+def _bwd_kernel(bounded, q_ref, mask_ref, g_ref, out_ref, k_any,
                 dq_ref, dk_any, k_vmem, dk_acc, sems):
     r = pl.program_id(0)
     n_r = pl.num_programs(0)
@@ -99,7 +108,7 @@ def _bwd_kernel(q_ref, mask_ref, g_ref, out_ref, k_any,
         q_ref[:], k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = _softmax_tile(s, mask_ref[:].astype(jnp.float32))
+    p = _softmax_tile(s, mask_ref[:].astype(jnp.float32), bounded)
     g = g_ref[:].astype(jnp.bfloat16)
     # dp_ij = g_i . k_j ; D_i = g_i . out_i ; ds = p * (dp - D)
     dp = jax.lax.dot_general(
@@ -159,16 +168,17 @@ def fits_vmem(I: int, c: int) -> bool:
     return fixed + 16 * per_row <= _VMEM_BUDGET
 
 
-@jax.custom_vjp
-def masked_attention(q, k, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def masked_attention(q, k, mask, bounded=False):
     """softmax(q @ k.T, multiplicity mask) @ k with one HBM pass over mask.
 
     ``mask`` is a constant (zero cotangent).  Returns f32 [U, c].
+    ``bounded=True`` (l2-normalized q/k) skips softmax max-stabilization.
     """
-    return _fwd_impl(q, k, mask)
+    return _fwd_impl(q, k, mask, bounded)
 
 
-def _fwd_impl(q, k, mask):
+def _fwd_impl(q, k, mask, bounded):
     U, I = mask.shape
     c = q.shape[1]
     interpret = jax.default_backend() == "cpu"
@@ -177,7 +187,7 @@ def _fwd_impl(q, k, mask):
     bu = _block_u(U, I, c, n_score_bufs=2)
     grid = (U // bu,)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, bounded),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
@@ -197,12 +207,12 @@ def _fwd_impl(q, k, mask):
     )(q, mask, k)
 
 
-def _vjp_fwd(q, k, mask):
-    out = _fwd_impl(q, k, mask)
+def _vjp_fwd(q, k, mask, bounded):
+    out = _fwd_impl(q, k, mask, bounded)
     return out, (q, k, mask, out)
 
 
-def _vjp_bwd(res, g):
+def _vjp_bwd(bounded, res, g):
     q, k, mask, out = res
     U, I = mask.shape
     c = q.shape[1]
@@ -212,7 +222,7 @@ def _vjp_bwd(res, g):
     bu = _block_u(U, I, c, n_score_bufs=3)
     grid = (U // bu,)
     dq, dk = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, bounded),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM),
@@ -250,7 +260,7 @@ def _vjp_bwd(res, g):
 masked_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def masked_attention_auto(q, k, mask):
+def masked_attention_auto(q, k, mask, bounded=False):
     """``masked_attention`` that row-shards itself over the active mesh's
     'model' axis (q and mask rows split; k replicated; d_k completed by
     shard_map's transpose psum).  Falls back to the single-device kernel
@@ -261,11 +271,12 @@ def masked_attention_auto(q, k, mask):
     m = int(mesh.shape.get("model", 1)) if mesh is not None else 1
     U = int(mask.shape[0])
     if mesh is None or m <= 1 or U % (m * 8) != 0:
-        return masked_attention(q, k, mask)
+        return masked_attention(q, k, mask, bounded)
     from jax.sharding import PartitionSpec as P
 
     return jax.shard_map(
-        masked_attention,
+        # positional: custom_vjp functions reject keyword arguments
+        lambda q_, k_, m_: masked_attention(q_, k_, m_, bounded),
         mesh=mesh,
         in_specs=(P("model", None), P(None, None), P("model", None)),
         out_specs=P("model", None),
