@@ -132,6 +132,7 @@ class SMOREDiffX(SMOREDiff):
     # ---------------- soft-R with renorm + EMA (`smorediffx.py:246-272`) ---
     def build_soft_r(self, ctx, R: COO, cond_item: jnp.ndarray,
                      train: bool = True, ui=None) -> COO:
+        scale = None
         if ui is not None:
             # dense z-score statistics (see SMOREDiff._soft_scale_dense),
             # then gather the per-edge scale so the renorm/EMA below stays
@@ -142,10 +143,34 @@ class SMOREDiffX(SMOREDiff):
             soft = super().build_soft_r(ctx, R, cond_item, train)
             vals = soft.vals
         if self.renorm_softR:
-            orig_row = jax.ops.segment_sum(R.vals, R.rows, num_segments=self.n_users)
-            new_row = jnp.maximum(
-                jax.ops.segment_sum(vals, R.rows, num_segments=self.n_users), 1e-6
-            )
+            # R's row sums never change: precomputed once in build_ctx
+            orig_row = ctx.get("softR_orig_row")
+            if orig_row is None:
+                orig_row = jax.ops.segment_sum(
+                    R.vals, R.rows, num_segments=self.n_users
+                )
+            if scale is not None:
+                # sum_e r[u] c[i] scale[u,i] as ONE dense matvec over the
+                # factored count block — replaces a serialized per-edge
+                # segment_sum (same sum up to f32 ordering); HIGHEST keeps
+                # the f32 scales unrounded on the MXU
+                cs = jax.lax.dot_general(
+                    ui.mat.astype(jnp.float32) * scale,
+                    ui.col_scale[:, None],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )[:, 0]
+                new_row = jnp.maximum(
+                    (ui.row_scale * cs)[: self.n_users], 1e-6
+                )
+            else:
+                new_row = jnp.maximum(
+                    jax.ops.segment_sum(
+                        vals, R.rows, num_segments=self.n_users
+                    ),
+                    1e-6,
+                )
             vals = vals * (orig_row / new_row)[R.rows]
         if self.use_softR_ema:
             # reference seeds the EMA with the first soft-R (`smorediffx.py:264-271`)
@@ -268,6 +293,13 @@ class SMOREDiffX(SMOREDiff):
     def build_ctx(cls, config, data):
         ctx = SMOREDiff.build_ctx.__func__(cls, config, data)
         ctx["epoch"] = jnp.asarray(0.0)
+        if isinstance(ctx.get("R"), COO):
+            # constant per-user row sums of R for the soft-R renorm
+            # (`smorediffx.py:246-255`): orig_row[u] = sum_i r[u] c[i]
+            R = ctx["R"]
+            ctx["softR_orig_row"] = jax.ops.segment_sum(
+                R.vals, R.rows, num_segments=data.n_users
+            )
         return ctx
 
     @classmethod
