@@ -183,9 +183,16 @@ class SMOREDiff(SMOREX):
             )
             # any COO result (sparse fallback, or SMOREDiffX's exact
             # per-edge renorm/EMA) still propagates on the MXU by
-            # scattering the nnz scalars into a dense block
+            # scattering the nnz scalars into a dense block — bf16 on TPU
+            # (the propagation matmul reads bf16 anyway; the (nnz,) EMA
+            # state itself stays exact f32), f32 on CPU for the parity pins
             if isinstance(R, COO) and dense_ok(self.n_users, self.n_items):
-                R = coo_to_densemat(R)
+                from recommendar_systems_tpu.graph.sparse import spmm_dtype
+
+                tgt = spmm_dtype() or (
+                    None if jax.default_backend() == "cpu" else jnp.bfloat16
+                )
+                R = coo_to_densemat(R, dtype=tgt)
         else:
             R = ctx["R"]
 

@@ -55,19 +55,46 @@ class SMOREDiffX(SMOREDiff):
     softR_ema_tau: float = 0.2
     renorm_softR: bool = True
     r_nnz: int = 0  # nnz of R, needed to declare the EMA buffer in setup
+    # [Up, Ip] when the renorm/EMA state lives DENSE (TPU fast path; see
+    # _softr_dense_shape), else None -> exact (nnz,) per-edge state
+    ema_dense_shape: tuple | None = None
     has_pre_epoch = True
 
     def setup(self):
         super().setup()
         if self.use_softR_ema:
+            shape = self.ema_dense_shape or (self.r_nnz,)
             self.softR_ema_var = self.variable(
-                "state", "softR_ema", jnp.zeros, (self.r_nnz,)
+                "state", "softR_ema", jnp.zeros, shape
             )
             # shape (1,) not (): 0-d leaves in the scanned-epoch carry hit a
             # pathological path on the axon backend (see lightgcnclip.py)
             self.softR_ema_init = self.variable(
                 "state", "softR_ema_init", lambda: jnp.zeros((1,), jnp.bool_)
             )
+
+    @staticmethod
+    def _softr_dense_shape(n_users: int, n_items: int):
+        """[Up, Ip] of the factored int8 count block the dense soft-R path
+        will alias at runtime, or None when the sparse path will engage.
+
+        Mirrors graph/build.py::build_norm_adj's dense-factored branch
+        (densify threshold + fused tile padding + bit-packing override) —
+        the flax state buffer's shape must be declared at setup time, before
+        the ctx exists."""
+        from recommendar_systems_tpu.graph.sparse import (
+            dense_ok,
+            fused_bip_enabled,
+            use_bit_adj,
+        )
+
+        if (
+            dense_ok(n_users, n_items)
+            and fused_bip_enabled()
+            and not use_bit_adj(n_users, n_items)
+        ):
+            return (-(-n_users // 256) * 256, -(-n_items // 128) * 128)
+        return None
 
     # ---------------- DSP denoiser (`smorediffx.py:71-140`) ----------------
     def _dsp(self, z):
@@ -130,8 +157,74 @@ class SMOREDiffX(SMOREDiff):
         return self.w_rank, lam_cl, lam_edge
 
     # ---------------- soft-R with renorm + EMA (`smorediffx.py:246-272`) ---
+    def _build_soft_r_dense(self, ctx, cond_item, train, ui):
+        """Renorm + EMA entirely on the dense block (TPU fast path).
+
+        The (nnz,) formulation is exact but LATENCY-bound on TPU: the
+        per-step trace showed ~700 serialized small copies/gathers/scatters
+        moving per-edge arrays through the scan carry (PARITY.md SMOREDiffX
+        closure).  Off-edge entries of the dense block are exactly 0 and
+        every operation below is per-entry multiplicative/linear, so the
+        dense state carries the per-edge math EXACTLY (f32, same elementwise
+        arithmetic; only the renorm row-sum order differs at f32 eps) with
+        zero per-edge ops in the loop."""
+        import jax
+
+        from recommendar_systems_tpu.graph.sparse import DenseUI, spmm_dtype
+
+        scale = self._soft_scale_dense(ctx, ui, cond_item)  # [Up, Ip] f32
+        up, ip = map(int, ui.mat.shape)
+        # full per-entry values r[u] * count * c[i] * scale (one fused pass)
+        vals = (
+            ui.mat.astype(jnp.float32)
+            * scale
+            * (ui.row_scale[:, None] * ui.col_scale[None, :])
+        )
+        if self.renorm_softR:
+            orig = ctx.get("softR_orig_row")
+            if orig is None:
+                orig = jax.ops.segment_sum(
+                    ctx["R"].vals, ctx["R"].rows, num_segments=self.n_users
+                )
+            orig_p = (
+                jnp.pad(orig, (0, up - orig.shape[0]))
+                if up != orig.shape[0] else orig
+            )
+            new_row = jnp.maximum(vals.sum(axis=1), 1e-6)
+            vals = vals * (orig_p / new_row)[:, None]
+        if self.use_softR_ema:
+            prev = self.softR_ema_var.value
+            new_ema = jnp.where(
+                self.softR_ema_init.value,
+                (1 - self.softR_ema_tau) * prev + self.softR_ema_tau * vals,
+                vals,
+            )
+            if train and not self.is_initializing():
+                self.softR_ema_var.value = jax.lax.stop_gradient(new_ema)
+                self.softR_ema_init.value = jnp.ones((1,), jnp.bool_)
+            vals = new_ema
+        # the state stays exact f32; only the PROPAGATED block narrows to
+        # bf16 on TPU (same rule as SMOREDiff's perturbed block)
+        tgt = spmm_dtype() or (
+            jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        )
+        return DenseUI(vals.astype(tgt), ui.dims, None, None)
+
     def build_soft_r(self, ctx, R: COO, cond_item: jnp.ndarray,
-                     train: bool = True, ui=None) -> COO:
+                     train: bool = True, ui=None):
+        if self.ema_dense_shape is not None:
+            if ui is None or tuple(map(int, ui.mat.shape)) != tuple(
+                self.ema_dense_shape
+            ):
+                raise ValueError(
+                    "soft-R state was declared DENSE "
+                    f"{self.ema_dense_shape} at model construction but the "
+                    "runtime adjacency block is "
+                    f"{None if ui is None else tuple(ui.mat.shape)}; build "
+                    "ctx with the same fused/densify knobs used for "
+                    "from_config"
+                )
+            return self._build_soft_r_dense(ctx, cond_item, train, ui)
         scale = None
         if ui is not None:
             # dense z-score statistics (see SMOREDiff._soft_scale_dense),
@@ -282,6 +375,9 @@ class SMOREDiffX(SMOREDiff):
                 cfg_scalar(config, "use_diffusion_mvp", cls._diffusion_default)
             ),
             r_nnz=int(len(data.train_users_np)),
+            ema_dense_shape=cls._softr_dense_shape(
+                data.n_users, data.n_items
+            ),
         )
         return kw
 

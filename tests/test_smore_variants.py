@@ -87,6 +87,37 @@ def test_smorediffx_learns(ds):
     assert "softR_ema" in jax_tree_keys(tr.net_state)
 
 
+def test_smorediffx_dense_state_matches_per_edge(ds):
+    """The DENSE renorm/EMA state (TPU fast path, engaged under fused_bip)
+    reproduces the exact (nnz,) per-edge formulation: same elementwise f32
+    math, off-edge entries identically 0."""
+    from recommendar_systems_tpu.graph import sparse as gs
+
+    score_edge, valid_edge, *_ = run_model("SMOREDiffX", ds, epochs=3)
+    gs.set_fused_bip(True)
+    try:
+        score_dense, valid_dense, _, tr = run_model(
+            "SMOREDiffX", ds, epochs=3
+        )
+        # state buffer is the padded dense block now
+        leaves = {}
+
+        def walk(d, pre=""):
+            for k, v in d.items():
+                if hasattr(v, "items"):
+                    walk(v, pre + k + "/")
+                else:
+                    leaves[pre + k] = v
+
+        walk(tr.net_state)
+        ema = next(v for k, v in leaves.items() if k.endswith("softR_ema"))
+        assert ema.ndim == 2, ema.shape
+    finally:
+        gs.set_fused_bip(False)
+    # same data, same seed, same math -> near-identical trajectories
+    assert abs(score_dense - score_edge) < 5e-3, (score_dense, score_edge)
+
+
 def jax_tree_keys(tree):
     keys = set()
 
