@@ -54,8 +54,11 @@ MODEL_OVERRIDES = {
                "learning_rate": 0.001,
                "user_graph_dict_file": "user_graph_dict.npy"},
     "SMOREX": {"wiener_alpha": 0.5, "mg_enable": False},
-    "SMORE1": {"n_ui_layers": 4, "image_knn_k": 20, "text_knn_k": 15,
-               "reg_weight": 1e-5, "dropout_rate": 0.1, "mg_enable": False},
+    # SMORE1.yaml is EMPTY in the reference; supply SMORE.yaml's values
+    # (the model reads them via config[...], crashing when absent)
+    "SMORE1": {"n_layers": 1, "n_ui_layers": 4, "image_knn_k": 20,
+               "text_knn_k": 15, "reg_weight": 1e-5, "dropout_rate": 0.1,
+               "cl_loss": 0.01, "lambda_coeff": 0.9, "mg_enable": False},
     "SMOREMG": {"n_ui_layers": 4, "image_knn_k": 20, "text_knn_k": 15,
                 "reg_weight": 1e-5, "dropout_rate": 0.1},
     "SMOREDiff": {"n_ui_layers": 4, "image_knn_k": 20, "text_knn_k": 15,
