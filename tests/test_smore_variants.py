@@ -118,6 +118,22 @@ def test_smorediffx_dense_state_matches_per_edge(ds):
     assert abs(score_dense - score_edge) < 5e-3, (score_dense, score_edge)
 
 
+def test_smorediffx_dense_state_under_mesh(ds):
+    """The dense [Up, Ip] renorm/EMA state composes with the ('data',
+    'model') mesh (threaded through the sharded scan carry)."""
+    from recommendar_systems_tpu.graph import sparse as gs
+
+    gs.set_fused_bip(True)
+    try:
+        score, valid, *_ = run_model(
+            "SMOREDiffX", ds, epochs=2,
+            mesh_shape=[4, 2], shard_embedding_tables=True,
+        )
+        assert np.isfinite(score), valid
+    finally:
+        gs.set_fused_bip(False)
+
+
 def jax_tree_keys(tree):
     keys = set()
 
