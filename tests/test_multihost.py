@@ -142,6 +142,45 @@ def test_local_slice_math():
     assert local_slice(10, process_index=3, process_count=4) == slice(6, 10)
 
 
+def test_two_process_end_to_end():
+    """REAL multi-process execution: two `jax.distributed` processes (4
+    virtual CPU devices each) join one global [4,2] mesh and run the full
+    Trainer fit (sharded scan + eval) through `multihost=true`.  Both
+    ranks must produce the same finite score."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "mh_proc_worker.py")
+    port = str(20000 + os.getpid() % 10000)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(r), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out, err[-2000:])
+        outs.append(out)
+    scores = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("MHOK")][-1]
+        scores.append(float(line.split()[2]))
+    assert np.isfinite(scores[0])
+    assert abs(scores[0] - scores[1]) < 1e-6, scores
+
+
 def test_trainer_multihost_single_process():
     """`multihost=true` drives the Trainer through make_multihost_mesh and
     the global-array data path (degenerate at process_count=1)."""
