@@ -40,6 +40,10 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         )
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU compiles are fast; caching them only bloats the committed
+        # cache dir with test-suite programs
+        return None
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
