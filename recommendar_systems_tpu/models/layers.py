@@ -20,6 +20,33 @@ from recommendar_systems_tpu.graph.sparse import spmm
 xavier_normal = nn.initializers.glorot_normal()
 xavier_uniform = nn.initializers.glorot_uniform()
 
+# torch nn.Linear DEFAULT inits: kernel kaiming_uniform(a=sqrt(5)) ==
+# U(+-1/sqrt(fan_in)); bias U(+-1/sqrt(fan_in)).  Models that build plain
+# nn.Linear layers in the reference (without re-initializing them) get
+# these, and the bias is NOT cosmetic: SLMRec's convergence basin hinges on
+# the feature-projection bias (measured: recall@20 0.044 with zero bias vs
+# 0.176 with the torch bias, everything else identical — see PARITY.md).
+torch_linear_kernel = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_linear_bias(fan_in: int):
+    """torch Linear default bias init U(+-1/sqrt(fan_in)); fan_in must be
+    supplied because flax bias initializers don't see the input width."""
+    import numpy as _np
+
+    bound = 1.0 / float(_np.sqrt(fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax as _jax
+
+        return _jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
 
 class Dense(nn.Dense):
     """nn.Dense with torch-Linear-style xavier-normal kernel + zero bias

@@ -26,6 +26,8 @@ from recommendar_systems_tpu.models.layers import (
     Dense,
     l2_normalize,
     lightgcn_propagate,
+    torch_linear_bias,
+    torch_linear_kernel,
     xavier_uniform,
 )
 from recommendar_systems_tpu.models.losses import _wmean
@@ -62,6 +64,8 @@ class SLMRec(RecModel):
     mm_fusion_mode: str = "concat"
     has_v: bool = True
     has_t: bool = True
+    v_dim: int = 0  # raw feature widths (bias-init fan_ins)
+    t_dim: int = 0
 
     def setup(self):
         d = self.latent_dim
@@ -71,21 +75,46 @@ class SLMRec(RecModel):
         self.embedding_item = self.param(
             "embedding_item", xavier_uniform, (self.n_items, d)
         )
+        # Reference layer inits (`slmrec.py:394-433`): v/t_dense and the
+        # after_GCN heads get xavier_uniform WEIGHTS but keep torch
+        # Linear's DEFAULT bias U(+-1/sqrt(fan_in)); the g_* SSL heads are
+        # plain nn.Linear (torch defaults for both).  The nonzero bias is
+        # load-bearing: with zero bias the in-batch-InfoNCE training lands
+        # in a batch-local basin (valid recall@20 0.044 vs 0.176 — the
+        # cross-init bisection is documented in PARITY.md).
         if self.has_v:
-            self.v_dense = Dense(d, name="v_dense")
+            self.v_dense = Dense(
+                d, name="v_dense", kernel_init=xavier_uniform,
+                bias_init=torch_linear_bias(self.v_dim),
+            )
         if self.has_t:
-            self.t_dense = Dense(d, name="t_dense")
+            self.t_dense = Dense(
+                d, name="t_dense", kernel_init=xavier_uniform,
+                bias_init=torch_linear_bias(self.t_dim),
+            )
         n_channels = 1 + int(self.has_v) + int(self.has_t)
         fdim = d * n_channels if self.mm_fusion_mode == "concat" else d
-        self.embedding_user_after_GCN = Dense(d, name="user_after_GCN")
-        self.embedding_item_after_GCN = Dense(d, name="item_after_GCN")
+        self.embedding_user_after_GCN = Dense(
+            d, name="user_after_GCN", kernel_init=xavier_uniform,
+            bias_init=torch_linear_bias(fdim),
+        )
+        self.embedding_item_after_GCN = Dense(
+            d, name="item_after_GCN", kernel_init=xavier_uniform,
+            bias_init=torch_linear_bias(fdim),
+        )
         self.drop = nn.Dropout(rate=self.dropout_rate)
         if self.ssl_task == "FAC":
-            self.g_i_iv = Dense(d, name="g_i_iv")
-            self.g_v_iv = Dense(d, name="g_v_iv")
-            self.g_iv_iva = Dense(d, name="g_iv_iva")
-            self.g_iva_ivat = Dense(d // 2, name="g_iva_ivat")
-            self.g_t_ivat = Dense(d // 2, name="g_t_ivat")
+            def g(feats, fan_in, name):
+                return Dense(
+                    feats, name=name, kernel_init=torch_linear_kernel,
+                    bias_init=torch_linear_bias(fan_in),
+                )
+
+            self.g_i_iv = g(d, d, "g_i_iv")
+            self.g_v_iv = g(d, d, "g_v_iv")
+            self.g_iv_iva = g(d, d, "g_iv_iva")
+            self.g_iva_ivat = g(d // 2, d, "g_iva_ivat")
+            self.g_t_ivat = g(d // 2, d, "g_t_ivat")
 
     def _mm_fusion(self, reps):
         if self.mm_fusion_mode == "concat":
@@ -246,6 +275,8 @@ class SLMRec(RecModel):
             mm_fusion_mode=str(config["mm_fusion_mode"] or "concat"),
             has_v=data.v_feat is not None,
             has_t=data.t_feat is not None,
+            v_dim=0 if data.v_feat is None else int(data.v_feat.shape[1]),
+            t_dim=0 if data.t_feat is None else int(data.t_feat.shape[1]),
         )
 
     @classmethod

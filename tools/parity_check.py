@@ -132,6 +132,10 @@ def main() -> None:
     logging.getLogger().setLevel(logging.INFO)
     ref_qs(model=args.model, dataset="baby", config_dict=ref_cfg,
            save_model=False, mg=False)
+    print("\n=== REFERENCE loss curve ===")
+    for line in captured:
+        if "train loss" in line:
+            print(line)
     print("\n=== REFERENCE (tail of log) ===")
     for line in captured[-8:]:
         print(line)
