@@ -111,6 +111,26 @@ def main() -> None:
     from tests.ref_compat import install_ref_shims
 
     install_ref_shims()
+    if args.model in ("MENTOR", "DualGNN", "DRAGON"):
+        # these read a host-precomputed u-u co-occurrence dict
+        from tools.measure_reference_baseline import _gen_user_graph
+
+        _gen_user_graph(data_dir)
+    if args.model in ("DualGNN", "DRAGON"):
+        # modern torch rejects nested-list tensor indexing (`dualgnn.py:261`)
+        import importlib
+
+        import torch as _t
+
+        mod = importlib.import_module(f"models.{args.model.lower()}")
+        _orig_fwd = mod.User_Graph_sample.forward
+
+        def _fwd(self, features, user_graph, user_matrix):
+            if not _t.is_tensor(user_graph):
+                user_graph = _t.tensor(user_graph, dtype=_t.long)
+            return _orig_fwd(self, features, user_graph, user_matrix)
+
+        mod.User_Graph_sample.forward = _fwd
     logging.getLogger().handlers.clear()
     from utils.quick_start import quick_start as ref_qs  # reference module
 
