@@ -111,6 +111,14 @@ def main() -> None:
     from tests.ref_compat import install_ref_shims
 
     install_ref_shims()
+    if args.model == "SMORE1":
+        # the reference's models/smore1.py names its class SMORE; the
+        # name-reflection loader (`utils.py:28-41`) expects SMORE1
+        import importlib
+
+        _m = importlib.import_module("models.smore1")
+        if not hasattr(_m, "SMORE1"):
+            _m.SMORE1 = _m.SMORE
     if args.model in ("MENTOR", "DualGNN", "DRAGON"):
         # these read a host-precomputed u-u co-occurrence dict
         from tools.measure_reference_baseline import _gen_user_graph
