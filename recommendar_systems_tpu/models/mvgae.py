@@ -24,7 +24,12 @@ from flax import linen as nn
 from recommendar_systems_tpu.graph.build import build_rw_adj_selfloop
 from recommendar_systems_tpu.graph.sparse import spmm
 from recommendar_systems_tpu.models.base import cfg_scalar, RecModel
-from recommendar_systems_tpu.models.layers import Dense, l2_normalize, xavier_normal
+from recommendar_systems_tpu.models.layers import (
+    Dense,
+    l2_normalize,
+    torch_linear_bias,
+    xavier_normal,
+)
 from recommendar_systems_tpu.models.losses import _wmean
 
 MAX_LOGVAR = 10.0
@@ -56,7 +61,12 @@ class _VGCN(nn.Module):
     @nn.compact
     def __call__(self, adj, features, preference, train: bool):
         lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.01)
-        temp = Dense(self.dim_latent, kernel_init=xavier_normal, name="MLP")(features)
+        # reference Linears re-init only the WEIGHT (`mvgae.py:203-211`);
+        # the torch-default bias U(+-1/sqrt(fan_in)) is kept — load-bearing
+        # for convergence (see the SLMRec finding in PARITY.md)
+        temp = Dense(self.dim_latent, kernel_init=xavier_normal,
+                     bias_init=torch_linear_bias(int(features.shape[-1])),
+                     name="MLP")(features)
         x = l2_normalize(jnp.concatenate([preference, temp], axis=0))
 
         dims = [(self.dim_latent, self.dim_id), (self.dim_id, self.dim_id)]
@@ -65,20 +75,22 @@ class _VGCN(nn.Module):
             w = self.param(f"conv_w{li+1}", _pyg_uniform(d_in), (d_in, d_out))
             b = self.param(f"conv_b{li+1}", _pyg_uniform(d_in), (d_out,))
             h = lrelu(self._conv(adj, x, w, b, train))
-            g = Dense(self.dim_id, kernel_init=xavier_normal, name=f"g{li+1}")
+            g = Dense(self.dim_id, kernel_init=xavier_normal,
+                      bias_init=torch_linear_bias(self.dim_id),
+                      name=f"g{li+1}")
             x = lrelu(g(h))
 
         w4 = self.param("conv_w4", _pyg_uniform(self.dim_id), (self.dim_id, self.dim_id))
         b4 = self.param("conv_b4", _pyg_uniform(self.dim_id), (self.dim_id,))
         mu_h = lrelu(self._conv(adj, x, w4, b4, train))
-        x_hat4 = lrelu(Dense(self.dim_id, kernel_init=xavier_normal, name="linear4")(x))
-        mu = Dense(self.dim_id, kernel_init=xavier_normal, name="g4")(mu_h) + x_hat4
+        x_hat4 = lrelu(Dense(self.dim_id, kernel_init=xavier_normal, bias_init=torch_linear_bias(self.dim_id), name="linear4")(x))
+        mu = Dense(self.dim_id, kernel_init=xavier_normal, bias_init=torch_linear_bias(self.dim_id), name="g4")(mu_h) + x_hat4
 
         w5 = self.param("conv_w5", _pyg_uniform(self.dim_id), (self.dim_id, self.dim_id))
         b5 = self.param("conv_b5", _pyg_uniform(self.dim_id), (self.dim_id,))
         lv_h = lrelu(self._conv(adj, x, w5, b5, train))
-        x_hat5 = lrelu(Dense(self.dim_id, kernel_init=xavier_normal, name="linear5")(x))
-        logvar = Dense(self.dim_id, kernel_init=xavier_normal, name="g5")(lv_h) + x_hat5
+        x_hat5 = lrelu(Dense(self.dim_id, kernel_init=xavier_normal, bias_init=torch_linear_bias(self.dim_id), name="linear5")(x))
+        logvar = Dense(self.dim_id, kernel_init=xavier_normal, bias_init=torch_linear_bias(self.dim_id), name="g5")(lv_h) + x_hat5
         return mu, logvar
 
 
