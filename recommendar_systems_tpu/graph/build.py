@@ -55,6 +55,18 @@ def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# tile granularities of the fused-bip padded u-i block (ops/fused_bip.py
+# grid tiles); the single source of truth for every consumer that must
+# predict the padded storage shape (e.g. SMOREDiffX's dense soft-R state)
+FUSED_ROW_TILE = 256
+FUSED_COL_TILE = 128
+
+
+def fused_pad_shape(n_users: int, n_items: int) -> tuple:
+    """(Up, Ip) tile-padded shape of the fused dense u-i adjacency block."""
+    return _pad_to(n_users, FUSED_ROW_TILE), _pad_to(n_items, FUSED_COL_TILE)
+
+
 def _dense_block(
     r: np.ndarray, c: np.ndarray, v: np.ndarray, n_rows: int, n_cols: int
 ) -> np.ndarray:
@@ -120,7 +132,7 @@ def build_norm_adj(
         if fused_bip_enabled():
             # tile-padded storage for the fused one-pass propagation kernel
             # (ops/fused_bip.py); zero rows/cols are numerically inert
-            up, ip = _pad_to(n_users, 256), _pad_to(n_items, 128)
+            up, ip = fused_pad_shape(n_users, n_items)
             if factored is None or factored:
                 counts = _dense_block(u, i, np.ones(len(u), np.float32), up, ip)
                 assert counts.max() < 127, "int8 count overflow"

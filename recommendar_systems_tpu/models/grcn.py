@@ -407,6 +407,10 @@ class GRCN(RecModel):
             latent_embedding=int(cfg_scalar(config, "latent_embedding", 64)),
             num_routing=int(cfg_scalar(config, "n_layers", 3)),
             reg_weight=float(_s(config["reg_weight"])),
+            # one source of truth with build_ctx's fused-egcn gate: the
+            # mega-kernel's unstabilized softmax is only valid when scores
+            # are bounded, i.e. when the model actually l2-normalizes
+            has_norm=bool(cfg_scalar(config, "has_norm", True)),
             has_v=data.v_feat is not None,
             has_t=data.t_feat is not None,
         )

@@ -46,6 +46,11 @@ class SMOREDiff(SMOREX):
     edge_nce_lambda: float = 0.2
     edge_inbatch_negs: bool = True
     edge_inbatch_ratio: int = 2
+    # parity/verification knob: force f32 storage of the perturbed soft-R
+    # block on TPU (config `softr_f32=true`), reproducing the CPU-pinned
+    # per-edge math without code edits (the TPU default is bf16 storage,
+    # which rounds the real-valued scales ~0.4% rel — see build_soft_r)
+    softr_f32: bool = False
 
     def _schedule(self, ctx):
         """(diff_beta, only_down) — static here; SMOREDiffX schedules them."""
@@ -120,7 +125,9 @@ class SMOREDiff(SMOREX):
             # (~0.4% rel) — the per-edge-path 1e-4 parity pin holds on CPU
             # (f32) and is documented as CPU-verified in PARITY.md.
             tgt = spmm_dtype() or (
-                jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+                jnp.float32
+                if (self.softr_f32 or jax.default_backend() == "cpu")
+                else jnp.bfloat16
             )
             mat = (ui.mat.astype(jnp.float32) * scale).astype(tgt)
             return DenseUI(mat, ui.dims, ui.row_scale, ui.col_scale)
@@ -326,6 +333,7 @@ class SMOREDiff(SMOREX):
                 else config.get("edge_inbatch_negs")
             ),
             edge_inbatch_ratio=int(cfg_scalar(config, "edge_inbatch_ratio", 2)),
+            softr_f32=bool(cfg_scalar(config, "softr_f32", False)),
         )
         return kw
 

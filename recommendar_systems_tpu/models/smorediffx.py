@@ -93,7 +93,9 @@ class SMOREDiffX(SMOREDiff):
             and fused_bip_enabled()
             and not use_bit_adj(n_users, n_items)
         ):
-            return (-(-n_users // 256) * 256, -(-n_items // 128) * 128)
+            from recommendar_systems_tpu.graph.build import fused_pad_shape
+
+            return fused_pad_shape(n_users, n_items)
         return None
 
     # ---------------- DSP denoiser (`smorediffx.py:71-140`) ----------------

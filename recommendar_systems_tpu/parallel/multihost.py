@@ -133,12 +133,22 @@ def local_slice(global_len: int, *, process_index: Optional[int] = None,
                 process_count: Optional[int] = None) -> slice:
     """This process' contiguous row range of a len-``global_len`` batch
     axis (the data loader keeps only its slice before
-    ``put_process_local_batch``).  Remainder rows go to the last process."""
+    ``put_process_local_batch``).
+
+    ``jax.make_array_from_process_local_data`` requires per-process shards
+    that evenly tile the global axis, so a non-divisible ``global_len`` is
+    rejected here (pad the global batch first — the trainer's zero-weight
+    batch padding already produces process-divisible epochs when
+    ``train_batch_size`` is a multiple of the process count)."""
     import jax
 
     pc = process_count if process_count is not None else jax.process_count()
     pi = process_index if process_index is not None else jax.process_index()
+    if global_len % pc:
+        raise ValueError(
+            f"global batch axis ({global_len}) must divide evenly over "
+            f"{pc} processes; pad the global batch to a multiple first"
+        )
     per = global_len // pc
     start = pi * per
-    stop = global_len if pi == pc - 1 else start + per
-    return slice(start, stop)
+    return slice(start, start + per)

@@ -137,9 +137,15 @@ def test_put_process_local_batch_data_sharded():
 
 def test_local_slice_math():
     assert local_slice(10, process_index=0, process_count=1) == slice(0, 10)
-    assert local_slice(10, process_index=0, process_count=4) == slice(0, 2)
-    # remainder rows land on the last process
-    assert local_slice(10, process_index=3, process_count=4) == slice(6, 10)
+    assert local_slice(8, process_index=0, process_count=4) == slice(0, 2)
+    assert local_slice(8, process_index=3, process_count=4) == slice(6, 8)
+
+
+def test_local_slice_rejects_uneven():
+    # jax.make_array_from_process_local_data needs evenly-tiling shards; a
+    # non-divisible global batch must fail loudly, not mis-assemble
+    with pytest.raises(ValueError, match="divide evenly"):
+        local_slice(10, process_index=3, process_count=4)
 
 
 def test_two_process_end_to_end():
@@ -179,6 +185,46 @@ def test_two_process_end_to_end():
         scores.append(float(line.split()[2]))
     assert np.isfinite(scores[0])
     assert abs(scores[0] - scores[1]) < 1e-6, scores
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Orbax save + exact-resume with PROCESS-SPANNING distributed arrays:
+    two `jax.distributed` processes checkpoint one sharded training state
+    into a shared directory, restore it into the live shardings, and a
+    replayed epoch from the restored state must match the continuous run
+    exactly on both ranks."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "mh_proc_worker.py")
+    port = str(21000 + os.getpid() % 9000)
+    ckdir = str(tmp_path / "mh_ckpt")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(r), "2", port, "ckpt", ckdir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out, err[-2000:])
+        outs.append(out)
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("MHCK")][-1]
+        _, _, d_restore, d_replay = line.split()
+        assert float(d_restore) == 0.0, line  # restore is bit-exact
+        assert float(d_replay) == 0.0, line   # resumed epoch is bit-exact
 
 
 def test_trainer_multihost_single_process():
