@@ -41,6 +41,16 @@ def main() -> None:
         help="wrap the timed epochs in a JAX profiler trace written to DIR",
     )
     p.add_argument(
+        "--profile-eval", type=str, default=None, metavar="DIR",
+        help="wrap the timed EVAL passes in a JAX profiler trace",
+    )
+    p.add_argument(
+        "--eval-passes", type=int, default=5,
+        help="timed full-catalog eval passes; the MEDIAN users/s is "
+             "reported (single-pass timing swung 2.6x across rounds from "
+             "host-load/tunnel noise — see PARITY.md eval roofline)",
+    )
+    p.add_argument(
         "--no-fused", action="store_true",
         help="disable the fused one-pass bidirectional propagation kernel",
     )
@@ -230,11 +240,11 @@ def _run_one(args, model_name: str) -> None:
 
     def eval_pass():
         if use_cached:
-            ue, ie = trainer._eval_embeddings_jit(
-                trainer.params, trainer.net_state, trainer.ctx
-            )
-            return trainer._eval_scan_emb_jit(
-                ue, ie, ev.users, ev.mask_rows, ev.mask_items
+            # single-dispatch path (propagation + scanned top-k fused);
+            # dispatch latency dominates eval wall time over the tunnel
+            return trainer._eval_cached_jit(
+                trainer.params, trainer.net_state, trainer.ctx,
+                ev.users, ev.mask_rows, ev.mask_items,
             )
         return trainer._eval_scan_jit(
             trainer.params, trainer.net_state, trainer.ctx,
@@ -242,11 +252,23 @@ def _run_one(args, model_name: str) -> None:
         )
 
     np.asarray(eval_pass())  # compile + warm
-    t1 = time.time()
-    r = eval_pass()
-    np.asarray(r)
+    if args.profile_eval:
+        os.makedirs(args.profile_eval, exist_ok=True)
+        jax.profiler.start_trace(args.profile_eval)
+    times = []
+    for _ in range(max(1, args.eval_passes)):
+        t1 = time.time()
+        r = eval_pass()
+        np.asarray(r)
+        times.append(time.time() - t1)
+    if args.profile_eval:
+        jax.profiler.stop_trace()
+    import statistics
+
     total_users = int(ev.n_valid.sum())
-    eval_ups = total_users / (time.time() - t1)
+    eval_ups = total_users / statistics.median(times)
+    eval_ups_min = total_users / max(times)
+    eval_ups_max = total_users / min(times)
 
     baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
@@ -267,6 +289,10 @@ def _run_one(args, model_name: str) -> None:
                 "vs_baseline": vs,
                 "extra": {
                     "eval_users_per_s": round(eval_ups, 1),
+                    "eval_users_per_s_band": [
+                        round(eval_ups_min, 1), round(eval_ups_max, 1)
+                    ],
+                    "eval_passes": max(1, args.eval_passes),
                     "epoch_time_s": round(dt / args.epochs, 3),
                     "n_train": n_train,
                     "dtype": "bf16" if args.bf16 else "f32",

@@ -184,6 +184,7 @@ class GRCN(RecModel):
         from recommendar_systems_tpu.ops.grcn_fused import (
             dual_colstats,
             gated_dual_hop,
+            gated_dual_hop_pair,
         )
 
         pv, fv = self._routing_dense(ctx, self.v_pref, self.v_mlp,
@@ -206,13 +207,22 @@ class GRCN(RecModel):
             return nn.leaky_relu(a, negative_slope=0.01) if self.has_act else a
 
         stats = dual_colstats(pv, fv, pt, ft, mask)
-        ou_v, ou_t, oi_v, oi_t, h1u, h1i = gated_dual_hop(
-            pv, fv, pt, ft, cu, ci, xu, xi, stats, mask
-        )
-        h1u, h1i = act(h1u), act(h1i)
-        _, _, _, _, h2u, h2i = gated_dual_hop(
-            pv, fv, pt, ft, cu, ci, h1u, h1i, stats, mask, False
-        )
+        if ctx.get("fused_pair") is not None:
+            # both hops under ONE custom VJP: the combined backward sums
+            # the hops' cotangents before a single softmax-Jacobian pass
+            # (3 mask passes instead of 4 — ops/grcn_fused.py)
+            ou_v, ou_t, oi_v, oi_t, h1u, h1i, h2u, h2i = gated_dual_hop_pair(
+                pv, fv, pt, ft, cu, ci, xu, xi, stats, mask,
+                self.has_act, 0.01,
+            )
+        else:
+            ou_v, ou_t, oi_v, oi_t, h1u, h1i = gated_dual_hop(
+                pv, fv, pt, ft, cu, ci, xu, xi, stats, mask
+            )
+            h1u, h1i = act(h1u), act(h1i)
+            _, _, _, _, h2u, h2i = gated_dual_hop(
+                pv, fv, pt, ft, cu, ci, h1u, h1i, stats, mask, False
+            )
         h2u, h2i = act(h2u), act(h2i)
         id_rep = jnp.concatenate(
             [(xu + h1u + h2u)[:U], (xi + h1i + h2i)[:I]], axis=0
@@ -478,6 +488,11 @@ class GRCN(RecModel):
                 if (grcn_fused.fits_vmem(up, ip, c, d) and not under_mesh
                         and egcn_on and has_norm):
                     ctx["fused_egcn"] = True
+                    pair_knob = config.get("fused_pair")
+                    if pair_knob is None or bool(pair_knob):
+                        # two-hop pair op (combined backward); fused_pair=
+                        # false falls back to two single-hop ops for A/B
+                        ctx["fused_pair"] = True
             # edge multiplicity counts stored int8 (exact; counts are tiny)
             # — a quarter of the f32 HBM bytes on every masked-softmax pass
             assert m.max() < 127, "int8 edge-multiplicity overflow"

@@ -564,11 +564,12 @@ def _gmod_fixed(I: int, c: int, d: int) -> int:
 
 
 def fits_vmem(U: int, I: int, c: int, d: int) -> bool:
-    """True when the heaviest launch (fused both-modality backward) fits
-    with the minimal row tile."""
-    per_row = I * 1 * 3 + I * 4 * 12 + 128 * 4 * 8
+    """True when the heaviest launch (the two-hop pair's combined backward,
+    which adds resident zi2/gh2i tiles and one stack temp over the
+    single-hop gmod pass) fits with the minimal row tile."""
+    per_row = I * 1 * 3 + I * 4 * 13 + 128 * 4 * 8
     return (
-        _gmod_fixed(I, c, d) + 8 * per_row <= _VMEM_BUDGET
+        _gmod_fixed(I, c, d) + I * d * 2 * 2 + 8 * per_row <= _VMEM_BUDGET
         and U % 8 == 0
         and I % 128 == 0
         and d <= 126
@@ -676,35 +677,24 @@ def _vjp_fwd(q1, k1, q2, k2, cu, ci, zu, zi, stats, mask, with_outs):
     return out, (q1, k1, q2, k2, cu, ci, zu, zi, stats, mask)
 
 
-def _vjp_bwd(with_outs, res, cots):
-    q1, k1, q2, k2, cu, ci, zu, zi, stats, mask = res
-    gou1, gou2, goi1, goi2, ghu, ghi = cots
+def _tile_spec(bu_, w):
+    return pl.BlockSpec((bu_, w), lambda r: (r, 0), memory_space=pltpu.VMEM)
+
+
+def _dpre_call(q1b, q2b, mask, packed, stats, ci_r, ghu32, k1b, k2b, zib,
+               goi1_b, goi2_b, ghi_b):
+    """D pre-pass launch (shared by the single-hop VJP and the pair VJP's
+    hop-1 stage): returns (dvec [8, I], dzu [U, d], dzi [I, d])."""
     U, I = mask.shape
-    c = q1.shape[1]
-    d = zi.shape[1]
+    c = q1b.shape[1]
+    d = zib.shape[1]
     interpret = jax.default_backend() == "cpu"
-    q1b = q1.astype(jnp.bfloat16)
-    q2b = q2.astype(jnp.bfloat16)
-    k1b = k1.astype(jnp.bfloat16)
-    k2b = k2.astype(jnp.bfloat16)
-    zib = zi.astype(jnp.bfloat16)
-    packed = _pack_zu_cu(cu, zu)
-    ci_r = _ci_rows(ci, I)
-    ghu32 = ghu.astype(jnp.float32)
-    ghi_b = ghi.astype(jnp.bfloat16)
-    goi1_b = goi1.astype(jnp.bfloat16)
-    goi2_b = goi2.astype(jnp.bfloat16)
-
-    def _tile(bu_, w):
-        return pl.BlockSpec((bu_, w), lambda r: (r, 0),
-                            memory_space=pltpu.VMEM)
-
-    # --- D pre-pass ---------------------------------------------------------
+    _tile = _tile_spec
     fixed = (I * c * 2 * 2 + I * d * 2 + I * c * 2 * 2 + I * d * 2
              + I * d * 4 + I * 4 * 4)
     bu = _pick_block(U, I, n_f32=7, fixed=fixed,
                      mask_itemsize=mask.dtype.itemsize)
-    dvec, dzu, dzi = pl.pallas_call(
+    return pl.pallas_call(
         _dpre_kernel,
         grid=(U // bu,),
         in_specs=[
@@ -750,6 +740,31 @@ def _vjp_bwd(with_outs, res, cots):
         interpret=interpret,
     )(q1b, q2b, mask, packed, stats, ci_r, ghu32,
       k1b, k2b, zib, goi1_b, goi2_b, ghi_b)
+
+
+def _vjp_bwd(with_outs, res, cots):
+    q1, k1, q2, k2, cu, ci, zu, zi, stats, mask = res
+    gou1, gou2, goi1, goi2, ghu, ghi = cots
+    U, I = mask.shape
+    c = q1.shape[1]
+    d = zi.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    q1b = q1.astype(jnp.bfloat16)
+    q2b = q2.astype(jnp.bfloat16)
+    k1b = k1.astype(jnp.bfloat16)
+    k2b = k2.astype(jnp.bfloat16)
+    zib = zi.astype(jnp.bfloat16)
+    packed = _pack_zu_cu(cu, zu)
+    ci_r = _ci_rows(ci, I)
+    ghu32 = ghu.astype(jnp.float32)
+    ghi_b = ghi.astype(jnp.bfloat16)
+    goi1_b = goi1.astype(jnp.bfloat16)
+    goi2_b = goi2.astype(jnp.bfloat16)
+    _tile = _tile_spec
+
+    # --- D pre-pass ---------------------------------------------------------
+    dvec, dzu, dzi = _dpre_call(q1b, q2b, mask, packed, stats, ci_r, ghu32,
+                                k1b, k2b, zib, goi1_b, goi2_b, ghi_b)
 
     # --- fused both-modality pass -------------------------------------------
     bum = _pick_block(U, I, n_f32=12, fixed=_gmod_fixed(I, c, d),
@@ -823,3 +838,483 @@ def _vjp_bwd(with_outs, res, cots):
 
 
 gated_dual_hop.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Two-hop pair op: both EGCN hops under ONE custom VJP
+# ---------------------------------------------------------------------------
+#
+# GRCN's EGCN runs exactly two hops with IDENTICAL attention weights (the
+# same q/k/stats/mask — only the propagated z differs: hop 1 carries the id
+# embeddings, hop 2 carries act(hop-1 output)).  Running the hops as two
+# independent `gated_dual_hop` calls makes the backward recompute the
+# scores/exps FOUR times (a D pre-pass + a gmod pass per hop).  Because the
+# softmax Jacobian and the gate routing are LINEAR in the incoming
+# cotangents (for fixed win masks), the two hops' cotangent contributions
+# can be SUMMED before a single Jacobian application: the pair backward is
+#   pass A: hop-2 D pre-pass (no attention outs) -> D2, dz2u, dz2i
+#           (dz2* are the chain cotangents into act(h1*))
+#   [jnp]  total h1 cotangents through the leaky-relu act'
+#   pass B: hop-1 D pre-pass (with tower outs)   -> D1, dxu, dxi
+#   pass C: ONE combined gmod pass with dwu/dwi summed over both hops and
+#           D = D1 + D2 -> dq/dk/dcu/dci
+# i.e. 3 mask passes instead of 4, and the heaviest (gmod) runs once.
+
+
+def _dpre_noouts_kernel(q1_ref, q2_ref, mask_ref, cu_ref, stats_ref, ci_ref,
+                        ghu_ref, k1_any, k2_any, zi_any, ghi_any,
+                        dvec_ref, dzu_ref, dzi_any,
+                        k1_v, k2_v, zi_v, ghi_v,
+                        d1_acc, d2_acc, dzi_acc, dpack, sems):
+    """Hop-2 variant of `_dpre_kernel`: the second hop discards its
+    attention outputs, so ``dpi_m`` has no ``q @ goi^T`` term — only the
+    gate routing of ``dwi``."""
+    r = pl.program_id(0)
+    n_r = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        _stage(k1_any, k1_v, sems.at[0])
+        _stage(k2_any, k2_v, sems.at[1])
+        _stage(zi_any, zi_v, sems.at[2])
+        _stage(ghi_any, ghi_v, sems.at[3])
+
+    m = mask_ref[:].astype(jnp.float32)
+    st = stats_ref[:]
+    civ = ci_ref[:]
+    cuv = cu_ref[:]
+    cu1 = cuv[:, 0:1]
+    cu2 = cuv[:, 1:2]
+    d = zi_v.shape[1]
+    zu_tile = cuv[:, 2 : 2 + d].astype(jnp.bfloat16)
+
+    e1 = _exp_masked(_scores(q1_ref, k1_v[:]), m)
+    e2 = _exp_masked(_scores(q2_ref, k2_v[:]), m)
+    pi1 = _col_norm(e1, st[0:1, :])
+    pi2 = _col_norm(e2, st[1:2, :])
+    g1i = pi1 * cu1
+    g2i = pi2 * cu2
+    wi = _relu_max(g1i, g2i)
+    live_i = wi > 0
+
+    dwi = jax.lax.dot_general(
+        zu_tile, ghi_v[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg1i = jnp.where(live_i & (g1i >= g2i), dwi, 0.0)
+    dg2i = jnp.where(live_i & (g2i > g1i), dwi, 0.0)
+    dpi1 = dg1i * cu1
+    dpi2 = dg2i * cu2
+    d1_c = jnp.sum(pi1 * dpi1, axis=0, keepdims=True)
+    d2_c = jnp.sum(pi2 * dpi2, axis=0, keepdims=True)
+
+    dzu_ref[:] = jnp.dot(wi.astype(jnp.bfloat16), ghi_v[:],
+                         preferred_element_type=jnp.float32)
+
+    pu1 = _row_norm(e1)
+    pu2 = _row_norm(e2)
+    wu = _relu_max(pu1 * civ[0:1, :], pu2 * civ[1:2, :])
+    dzi_c = jax.lax.dot_general(
+        wu.astype(jnp.bfloat16), ghu_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(r == 0)
+    def _():
+        d1_acc[:] = d1_c
+        d2_acc[:] = d2_c
+        dzi_acc[:] = dzi_c
+
+    @pl.when(r > 0)
+    def _():
+        d1_acc[:] = d1_acc[:] + d1_c
+        d2_acc[:] = d2_acc[:] + d2_c
+        dzi_acc[:] = dzi_acc[:] + dzi_c
+
+    @pl.when(r == n_r - 1)
+    def _():
+        dpack[:] = jnp.concatenate(
+            [d1_acc[:], d2_acc[:], d1_acc[:], d2_acc[:],
+             d1_acc[:], d2_acc[:], d1_acc[:], d2_acc[:]], axis=0
+        )
+        _stage(dpack, dvec_ref, sems.at[4])
+        _stage(dzi_acc, dzi_any, sems.at[5])
+
+
+def _dpre_noouts_call(q1b, q2b, mask, packed, stats, ci_r, ghu32,
+                      k1b, k2b, zib, ghi_b):
+    U, I = mask.shape
+    c = q1b.shape[1]
+    d = zib.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    _tile = _tile_spec
+    fixed = (I * c * 2 * 2 + I * d * 2 + I * d * 2
+             + I * d * 4 + I * 4 * 4)
+    bu = _pick_block(U, I, n_f32=7, fixed=fixed,
+                     mask_itemsize=mask.dtype.itemsize)
+    return pl.pallas_call(
+        _dpre_noouts_kernel,
+        grid=(U // bu,),
+        in_specs=[
+            _tile(bu, c),
+            _tile(bu, c),
+            pl.BlockSpec((bu, I), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            _tile(bu, 128),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _tile(bu, d),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            _tile(bu, d),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, I), jnp.float32),
+            jax.ShapeDtypeStruct((U, d), jnp.float32),
+            jax.ShapeDtypeStruct((I, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, d), jnp.bfloat16),
+            pltpu.VMEM((I, d), jnp.bfloat16),
+            pltpu.VMEM((1, I), jnp.float32),
+            pltpu.VMEM((1, I), jnp.float32),
+            pltpu.VMEM((I, d), jnp.float32),
+            pltpu.VMEM((8, I), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(q1b, q2b, mask, packed, stats, ci_r, ghu32, k1b, k2b, zib, ghi_b)
+
+
+def _gmod_pair_kernel(q1_ref, q2_ref, mask_ref, cu_ref, stats_ref, ci_ref,
+                      dvec_ref, ghu_ref, gou1_ref, gou2_ref, z2u_ref,
+                      gh2u_ref,
+                      k1_any, k2_any, zi_any, goi1_any, goi2_any, ghi_any,
+                      zi2_any, gh2i_any,
+                      dq1_ref, dq2_ref, dcu_ref, dk1_any, dk2_any, dci_ref,
+                      k1_v, k2_v, zi_v, goi1_v, goi2_v, ghi_v, zi2_v, gh2i_v,
+                      dk1_acc, dk2_acc, dci_acc, sems):
+    """`_gmod_both_kernel` with the hop-2 cotangent terms folded in: the
+    gate cotangents sum over both hops (``dwu/dwi`` get one extra
+    [bu, d] x [I, d] matmul each), the incoming D vector is D1 + D2, and
+    everything downstream (routing, softmax Jacobian, dq/dk) runs ONCE."""
+    r = pl.program_id(0)
+    n_r = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        _stage(k1_any, k1_v, sems.at[0])
+        _stage(k2_any, k2_v, sems.at[1])
+        _stage(zi_any, zi_v, sems.at[2])
+        _stage(goi1_any, goi1_v, sems.at[3])
+        _stage(goi2_any, goi2_v, sems.at[4])
+        _stage(ghi_any, ghi_v, sems.at[5])
+        _stage(zi2_any, zi2_v, sems.at[6])
+        _stage(gh2i_any, gh2i_v, sems.at[7])
+
+    m = mask_ref[:].astype(jnp.float32)
+    st = stats_ref[:]
+    civ = ci_ref[:]
+    cuv = cu_ref[:]
+    ci1 = civ[0:1, :]
+    ci2 = civ[1:2, :]
+    cu1 = cuv[:, 0:1]
+    cu2 = cuv[:, 1:2]
+    d = zi_v.shape[1]
+    zu_tile = cuv[:, 2 : 2 + d].astype(jnp.bfloat16)
+
+    e1 = _exp_masked(_scores(q1_ref, k1_v[:]), m)
+    e2 = _exp_masked(_scores(q2_ref, k2_v[:]), m)
+    pu1 = _row_norm(e1)
+    pu2 = _row_norm(e2)
+    pi1 = _col_norm(e1, st[0:1, :])
+    pi2 = _col_norm(e2, st[1:2, :])
+
+    # --- gate cotangents SUMMED over both hops (linear in the cotangents)
+    dwu = jax.lax.dot_general(
+        ghu_ref[:].astype(jnp.bfloat16), zi_v[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        gh2u_ref[:].astype(jnp.bfloat16), zi2_v[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwi = jax.lax.dot_general(
+        zu_tile, ghi_v[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        z2u_ref[:].astype(jnp.bfloat16), gh2i_v[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # --- user-side gate routing (ties -> modality 1)
+    g1u = pu1 * ci1
+    g2u = pu2 * ci2
+    live_u = jnp.maximum(g1u, g2u) > 0
+    win1_u = g1u >= g2u
+    dg1u = jnp.where(live_u & win1_u, dwu, 0.0)
+    dg2u = jnp.where(live_u & (~win1_u), dwu, 0.0)
+    dci1_c = jnp.sum(dg1u * pu1, axis=0, keepdims=True)
+    dci2_c = jnp.sum(dg2u * pu2, axis=0, keepdims=True)
+
+    # --- item-side gate routing
+    g1i = pi1 * cu1
+    g2i = pi2 * cu2
+    live_i = jnp.maximum(g1i, g2i) > 0
+    win1_i = g1i >= g2i
+    dg1i = jnp.where(live_i & win1_i, dwi, 0.0)
+    dg2i = jnp.where(live_i & (~win1_i), dwi, 0.0)
+    dcu1_c = jnp.sum(dg1i * pi1, axis=1, keepdims=True)
+    dcu2_c = jnp.sum(dg2i * pi2, axis=1, keepdims=True)
+    dcu_ref[:] = jnp.concatenate(
+        [jnp.broadcast_to(dcu1_c, (dcu1_c.shape[0], 64)),
+         jnp.broadcast_to(dcu2_c, (dcu2_c.shape[0], 64))], axis=1
+    )
+
+    def modality(pu, pi, dg_u, dg_i, ci_m, cu_m, dvec_row, k_v, gou_ref_m,
+                 goi_v_m, q_ref_m):
+        dpu = dg_u * ci_m + jax.lax.dot_general(
+            gou_ref_m[:].astype(jnp.bfloat16), k_v[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dsu = pu * (dpu - jnp.sum(dpu * pu, axis=1, keepdims=True))
+
+        dpi = dg_i * cu_m + jax.lax.dot_general(
+            q_ref_m[:], goi_v_m[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dsi = pi * (dpi - dvec_row)
+        ds = (dsu + dsi).astype(jnp.bfloat16)
+
+        dq = jnp.dot(ds, k_v[:], preferred_element_type=jnp.float32)
+        dq = dq + jnp.dot(pi.astype(jnp.bfloat16), goi_v_m[:],
+                          preferred_element_type=jnp.float32)
+        dk_c = jax.lax.dot_general(
+            ds, q_ref_m[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            pu.astype(jnp.bfloat16), gou_ref_m[:].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq, dk_c
+
+    dv = dvec_ref[:]
+    dq1, dk1_c = modality(pu1, pi1, dg1u, dg1i, ci1, cu1, dv[0:1, :],
+                          k1_v, gou1_ref, goi1_v, q1_ref)
+    dq2, dk2_c = modality(pu2, pi2, dg2u, dg2i, ci2, cu2, dv[1:2, :],
+                          k2_v, gou2_ref, goi2_v, q2_ref)
+    dq1_ref[:] = dq1
+    dq2_ref[:] = dq2
+
+    @pl.when(r == 0)
+    def _():
+        dk1_acc[:] = dk1_c
+        dk2_acc[:] = dk2_c
+        dci_acc[:] = jnp.concatenate(
+            [dci1_c, dci2_c, dci1_c, dci2_c,
+             dci1_c, dci2_c, dci1_c, dci2_c], axis=0
+        )
+
+    @pl.when(r > 0)
+    def _():
+        dk1_acc[:] = dk1_acc[:] + dk1_c
+        dk2_acc[:] = dk2_acc[:] + dk2_c
+        dci_acc[:] = dci_acc[:] + jnp.concatenate(
+            [dci1_c, dci2_c, dci1_c, dci2_c,
+             dci1_c, dci2_c, dci1_c, dci2_c], axis=0
+        )
+
+    @pl.when(r == n_r - 1)
+    def _():
+        _stage(dk1_acc, dk1_any, sems.at[8])
+        _stage(dk2_acc, dk2_any, sems.at[9])
+        _stage(dci_acc, dci_ref, sems.at[10])
+
+
+def _act_pair(x, with_act, slope):
+    if not with_act:
+        return x
+    return jnp.where(x > 0, x, jnp.float32(slope) * x)
+
+
+def _act_grad_pair(x, g, with_act, slope):
+    if not with_act:
+        return g
+    return jnp.where(x > 0, g, jnp.float32(slope) * g)
+
+
+def _pair_impl(q1, k1, q2, k2, cu, ci, xu, xi, stats, mask, with_act,
+               act_slope):
+    ou1, ou2, oi1, oi2, h1u, h1i = _fwd_impl(
+        q1, k1, q2, k2, cu, ci, xu, xi, stats, mask, True
+    )
+    h1u_a = _act_pair(h1u, with_act, act_slope)
+    h1i_a = _act_pair(h1i, with_act, act_slope)
+    _, _, _, _, h2u, h2i = _fwd_impl(
+        q1, k1, q2, k2, cu, ci, h1u_a, h1i_a, stats, mask, False
+    )
+    return (ou1, ou2, oi1, oi2, h1u_a, h1i_a, h2u, h2i), h1u, h1i
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def gated_dual_hop_pair(q1, k1, q2, k2, cu, ci, xu, xi, stats, mask,
+                        with_act=True, act_slope=0.01):
+    """Both EGCN hops in one op:
+    ``(ou1, ou2, oi1, oi2, h1u_act, h1i_act, h2u, h2i)``.
+
+    ``h1*_act`` are the hop-1 outputs AFTER the inter-hop activation
+    (leaky-relu when ``with_act``); ``h2*`` are the raw hop-2 outputs (the
+    model applies its final activation outside).  Same contracts as
+    `gated_dual_hop` (bounded scores, tile-padded shapes, `dual_colstats`
+    stats); the combined backward runs 3 mask passes instead of 4 — see the
+    section comment above.
+    """
+    return _pair_impl(q1, k1, q2, k2, cu, ci, xu, xi, stats, mask,
+                      with_act, act_slope)[0]
+
+
+def _pair_vjp_fwd(q1, k1, q2, k2, cu, ci, xu, xi, stats, mask, with_act,
+                  act_slope):
+    outs, h1u, h1i = _pair_impl(q1, k1, q2, k2, cu, ci, xu, xi, stats, mask,
+                                with_act, act_slope)
+    return outs, (q1, k1, q2, k2, cu, ci, xu, xi, stats, mask, h1u, h1i)
+
+
+def _pair_vjp_bwd(with_act, act_slope, res, cots):
+    q1, k1, q2, k2, cu, ci, xu, xi, stats, mask, h1u, h1i = res
+    gou1, gou2, goi1, goi2, gh1u, gh1i, gh2u, gh2i = cots
+    U, I = mask.shape
+    c = q1.shape[1]
+    d = xi.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    _tile = _tile_spec
+
+    q1b = q1.astype(jnp.bfloat16)
+    q2b = q2.astype(jnp.bfloat16)
+    k1b = k1.astype(jnp.bfloat16)
+    k2b = k2.astype(jnp.bfloat16)
+    ci_r = _ci_rows(ci, I)
+    h1u_a = _act_pair(h1u, with_act, act_slope)
+    h1i_a = _act_pair(h1i, with_act, act_slope)
+
+    # --- pass A: hop-2 D pre-pass (z = act(h1), no attention outs)
+    packed2 = _pack_zu_cu(cu, h1u_a)
+    dvec2, dz2u, dz2i = _dpre_noouts_call(
+        q1b, q2b, mask, packed2, stats, ci_r,
+        gh2u.astype(jnp.float32), k1b, k2b,
+        h1i_a.astype(jnp.bfloat16), gh2i.astype(jnp.bfloat16),
+    )
+
+    # --- total h1 cotangents, through the inter-hop activation
+    gh1u_r = _act_grad_pair(h1u, gh1u + dz2u, with_act, act_slope)
+    gh1i_r = _act_grad_pair(h1i, gh1i + dz2i, with_act, act_slope)
+
+    # --- pass B: hop-1 D pre-pass (z = id embeddings, tower outs live)
+    packed1 = _pack_zu_cu(cu, xu)
+    xib = xi.astype(jnp.bfloat16)
+    ghu32 = gh1u_r.astype(jnp.float32)
+    ghi_b = gh1i_r.astype(jnp.bfloat16)
+    goi1_b = goi1.astype(jnp.bfloat16)
+    goi2_b = goi2.astype(jnp.bfloat16)
+    dvec1, dxu, dxi = _dpre_call(
+        q1b, q2b, mask, packed1, stats, ci_r, ghu32,
+        k1b, k2b, xib, goi1_b, goi2_b, ghi_b,
+    )
+
+    # --- pass C: ONE combined gmod pass (D = D1 + D2)
+    dvec = dvec1 + dvec2
+    fixed = _gmod_fixed(I, c, d) + I * d * 2 * 2  # + resident zi2/gh2i
+    bum = _pick_block(U, I, n_f32=13, fixed=fixed,
+                      mask_itemsize=mask.dtype.itemsize)
+    dq1, dq2, dcu_pack, dk1, dk2, dci_pack = pl.pallas_call(
+        _gmod_pair_kernel,
+        grid=(U // bum,),
+        in_specs=[
+            _tile(bum, c),
+            _tile(bum, c),
+            pl.BlockSpec((bum, I), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            _tile(bum, 128),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _tile(bum, d),
+            _tile(bum, c),
+            _tile(bum, c),
+            _tile(bum, d),
+            _tile(bum, d),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            _tile(bum, c),
+            _tile(bum, c),
+            _tile(bum, 128),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+            jax.ShapeDtypeStruct((U, 128), jnp.float32),
+            jax.ShapeDtypeStruct((I, c), jnp.float32),
+            jax.ShapeDtypeStruct((I, c), jnp.float32),
+            jax.ShapeDtypeStruct((8, I), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, d), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, d), jnp.bfloat16),
+            pltpu.VMEM((I, d), jnp.bfloat16),
+            pltpu.VMEM((I, d), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.float32),
+            pltpu.VMEM((I, c), jnp.float32),
+            pltpu.VMEM((8, I), jnp.float32),
+            pltpu.SemaphoreType.DMA((11,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(q1b, q2b, mask, _pack_zu_cu(cu, xu), stats, ci_r, dvec,
+      ghu32, gou1.astype(jnp.float32), gou2.astype(jnp.float32),
+      h1u_a.astype(jnp.float32), gh2u.astype(jnp.float32),
+      k1b, k2b, xib, goi1_b, goi2_b, ghi_b,
+      h1i_a.astype(jnp.bfloat16), gh2i.astype(jnp.bfloat16))
+
+    dcu = jnp.stack([dcu_pack[:, 0], dcu_pack[:, 64]], axis=1).astype(cu.dtype)
+    dci = jnp.stack([dci_pack[0], dci_pack[1]], axis=1).astype(ci.dtype)
+    return (
+        dq1.astype(q1.dtype), dk1.astype(k1.dtype),
+        dq2.astype(q2.dtype), dk2.astype(k2.dtype),
+        dcu, dci,
+        dxu.astype(xu.dtype), dxi.astype(xi.dtype),
+        jnp.zeros_like(stats), _mask_zero_cotangent(mask),
+    )
+
+
+gated_dual_hop_pair.defvjp(_pair_vjp_fwd, _pair_vjp_bwd)

@@ -179,6 +179,10 @@ class Trainer:
         self._eval_from_emb_jit = jax.jit(self._eval_from_emb_impl)
         self._eval_scan_jit = jax.jit(self._eval_scan_impl)
         self._eval_scan_emb_jit = jax.jit(self._eval_scan_emb_impl)
+        # embeddings + scanned score/mask/top-k in ONE dispatch: each
+        # dispatch costs ~100-250 ms of host/tunnel latency vs ~22 ms of
+        # device compute for a full eval pass (PARITY.md eval roofline)
+        self._eval_cached_jit = jax.jit(self._eval_cached_impl)
         self._pre_epoch_jit = None
         if getattr(type(model), "has_pre_epoch", False):
             cfg_snapshot = dict(config.final_config) if hasattr(config, "final_config") else dict(config)
@@ -557,6 +561,14 @@ class Trainer:
         _, topk = jax.lax.scan(body, 0, (users, mask_rows, mask_items))
         return topk
 
+    def _eval_cached_impl(self, params, net_state, ctx, users, mask_rows,
+                          mask_items):
+        """Whole evaluation (propagation + every user batch) in ONE
+        dispatch for has_eval_embeddings models — host/tunnel dispatch
+        latency dominates the wall cost of an eval pass (PARITY.md)."""
+        ue, ie = self._eval_embeddings_impl(params, net_state, ctx)
+        return self._eval_scan_emb_impl(ue, ie, users, mask_rows, mask_items)
+
     # ----------------------------------------------------------------- train
     def fit(
         self,
@@ -792,10 +804,11 @@ class Trainer:
         use_cached_emb = getattr(type(self.model), "has_eval_embeddings", False)
         if use_cached_emb:
             # one full-graph propagation per evaluation pass, reused by every
-            # user batch (the reference recomputes it per batch)
-            ue, ie = self._eval_embeddings_jit(self.params, self.net_state, self.ctx)
-            topk = self._eval_scan_emb_jit(
-                ue, ie, bundle.users, bundle.mask_rows, bundle.mask_items
+            # user batch (the reference recomputes it per batch), fused with
+            # the scanned score/mask/top-k into a single dispatch
+            topk = self._eval_cached_jit(
+                self.params, self.net_state, self.ctx,
+                bundle.users, bundle.mask_rows, bundle.mask_items,
             )
         else:
             topk = self._eval_scan_jit(

@@ -17,6 +17,7 @@ import pytest
 from recommendar_systems_tpu.ops.grcn_fused import (
     dual_colstats,
     gated_dual_hop,
+    gated_dual_hop_pair,
 )
 
 _NEG = -1e30
@@ -165,6 +166,111 @@ def test_hop2_no_outs_grads():
     go = jax.grad(f_oracle, argnums=tuple(range(len(keys))))(*vals)
     for k, a, b in zip(keys, gf, go):
         assert _rel(a, b) < 3e-2, (k, _rel(a, b))
+
+
+def _oracle_pair(q1, k1, q2, k2, cu, ci, zu, zi, mask, with_act=True,
+                 slope=0.01):
+    """Two hops with shared attention + inter-hop leaky-relu — what the
+    model's two-call path computes (modulo the single-vs-pair VJP)."""
+
+    def act(a):
+        return jnp.where(a > 0, a, slope * a) if with_act else a
+
+    ou1, ou2, oi1, oi2, h1u, h1i = _oracle(q1, k1, q2, k2, cu, ci, zu, zi,
+                                           mask)
+    h1u_a, h1i_a = act(h1u), act(h1i)
+    _, _, _, _, h2u, h2i = _oracle(q1, k1, q2, k2, cu, ci, h1u_a, h1i_a,
+                                   mask)
+    return ou1, ou2, oi1, oi2, h1u_a, h1i_a, h2u, h2i
+
+
+@pytest.mark.parametrize("with_act", [True, False])
+def test_pair_forward_and_grads_match_oracle(with_act):
+    args, mask = _inputs(seed=4)
+    keys = list(args.keys())
+    rng = np.random.default_rng(11)
+    probes = None
+
+    def scal(outs):
+        nonlocal probes
+        if probes is None:
+            probes = [
+                jnp.asarray(rng.normal(size=o.shape).astype(np.float32))
+                for o in outs
+            ]
+        return sum(jnp.vdot(o, p) for o, p in zip(outs, probes))
+
+    def f_pair(*vals):
+        a = dict(zip(keys, vals))
+        stats = dual_colstats(a["q1"], a["k1"], a["q2"], a["k2"], mask)
+        return scal(gated_dual_hop_pair(
+            a["q1"], a["k1"], a["q2"], a["k2"], a["cu"], a["ci"],
+            a["zu"], a["zi"], stats, mask, with_act, 0.01,
+        ))
+
+    def f_oracle(*vals):
+        a = dict(zip(keys, vals))
+        return scal(_oracle_pair(**a, mask=mask, with_act=with_act))
+
+    vals = [args[k] for k in keys]
+    # forward values
+    stats = dual_colstats(args["q1"], args["k1"], args["q2"], args["k2"],
+                          mask)
+    got = gated_dual_hop_pair(
+        args["q1"], args["k1"], args["q2"], args["k2"], args["cu"],
+        args["ci"], args["zu"], args["zi"], stats, mask, with_act, 0.01,
+    )
+    want = _oracle_pair(**args, mask=mask, with_act=with_act)
+    names = ["ou1", "ou2", "oi1", "oi2", "h1u", "h1i", "h2u", "h2i"]
+    for n, g, w in zip(names, got, want):
+        assert _rel(g, w) < 2e-2, (n, _rel(g, w))
+    # full VJP through every differentiable input
+    gf = jax.grad(f_pair, argnums=tuple(range(len(keys))))(*vals)
+    go = jax.grad(f_oracle, argnums=tuple(range(len(keys))))(*vals)
+    for k, a, b in zip(keys, gf, go):
+        assert _rel(a, b) < 3e-2, (k, _rel(a, b))
+
+
+def test_pair_matches_two_single_hops():
+    """The pair op's VJP must agree with chaining two single-hop ops (the
+    model's fused_pair=false path) — same kernels, different backward
+    factorization."""
+    args, mask = _inputs(seed=5)
+    keys = list(args.keys())
+
+    def f_pair(*vals):
+        a = dict(zip(keys, vals))
+        stats = dual_colstats(a["q1"], a["k1"], a["q2"], a["k2"], mask)
+        outs = gated_dual_hop_pair(
+            a["q1"], a["k1"], a["q2"], a["k2"], a["cu"], a["ci"],
+            a["zu"], a["zi"], stats, mask, True, 0.01,
+        )
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    def f_chained(*vals):
+        a = dict(zip(keys, vals))
+        stats = dual_colstats(a["q1"], a["k1"], a["q2"], a["k2"], mask)
+        ou1, ou2, oi1, oi2, h1u, h1i = gated_dual_hop(
+            a["q1"], a["k1"], a["q2"], a["k2"], a["cu"], a["ci"],
+            a["zu"], a["zi"], stats, mask,
+        )
+        act = lambda x: jnp.where(x > 0, x, 0.01 * x)  # noqa: E731
+        h1u, h1i = act(h1u), act(h1i)
+        _, _, _, _, h2u, h2i = gated_dual_hop(
+            a["q1"], a["k1"], a["q2"], a["k2"], a["cu"], a["ci"],
+            h1u, h1i, stats, mask, False,
+        )
+        return sum(jnp.sum(o ** 2)
+                   for o in (ou1, ou2, oi1, oi2, h1u, h1i, h2u, h2i))
+
+    vals = [args[k] for k in keys]
+    assert abs(float(f_pair(*vals)) - float(f_chained(*vals))) < 1e-3 * (
+        abs(float(f_chained(*vals))) + 1.0
+    )
+    gp = jax.grad(f_pair, argnums=tuple(range(len(keys))))(*vals)
+    gc = jax.grad(f_chained, argnums=tuple(range(len(keys))))(*vals)
+    for k, a, b in zip(keys, gp, gc):
+        assert _rel(a, b) < 1e-2, (k, _rel(a, b))
 
 
 def test_empty_rows_columns_zero():
