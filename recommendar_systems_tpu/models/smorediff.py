@@ -105,6 +105,22 @@ class SMOREDiff(SMOREX):
         delta = jnp.where(only_down, jnp.minimum(delta, 0.0), delta_updown)
         return jnp.maximum(1.0 + beta * delta, 0.05)
 
+    def _softr_dtype(self):
+        """Storage dtype of dense soft-R blocks (perturbed block and, in
+        SMOREDiffX, the dense EMA state): an explicit set_spmm_dtype wins;
+        `softr_f32` or the CPU backend force f32; else bf16 on TPU (halves
+        the HBM traffic of the dominant passes — the real-valued scales
+        round ~0.4% rel, unlike the exact int8->bf16 0/1-count cast)."""
+        import jax
+
+        from recommendar_systems_tpu.graph.sparse import spmm_dtype
+
+        return spmm_dtype() or (
+            jnp.float32
+            if (self.softr_f32 or jax.default_backend() == "cpu")
+            else jnp.bfloat16
+        )
+
     def build_soft_r(self, ctx, R: COO, cond_item: jnp.ndarray,
                      train: bool = True, ui=None):
         """Per-edge multiplicative perturbation of R (`smorediff.py:287-338`).
@@ -114,21 +130,13 @@ class SMOREDiff(SMOREX):
         returned directly in ``DenseUI`` form — identical values for 0/1
         counts, no per-edge gathers, no scatter."""
         if ui is not None:
-            from recommendar_systems_tpu.graph.sparse import DenseUI, spmm_dtype
+            from recommendar_systems_tpu.graph.sparse import DenseUI
 
             scale = self._soft_scale_dense(ctx, ui, cond_item)
-            # Storage dtype of the perturbed block: an explicit
-            # set_spmm_dtype wins; otherwise bf16 on TPU (halves the HBM
-            # traffic of the dominant propagation matmul).  NOTE: unlike the
-            # exact int8->bf16 0/1-count cast in spmm_denseui, the soft-R
-            # scales are real-valued, so the TPU-default bf16 rounds them
-            # (~0.4% rel) — the per-edge-path 1e-4 parity pin holds on CPU
-            # (f32) and is documented as CPU-verified in PARITY.md.
-            tgt = spmm_dtype() or (
-                jnp.float32
-                if (self.softr_f32 or jax.default_backend() == "cpu")
-                else jnp.bfloat16
-            )
+            # storage dtype: see _softr_dtype (the per-edge-path 1e-4
+            # parity pin holds on CPU f32; PARITY.md documents the TPU
+            # bf16 default)
+            tgt = self._softr_dtype()
             mat = (ui.mat.astype(jnp.float32) * scale).astype(tgt)
             return DenseUI(mat, ui.dims, ui.row_scale, ui.col_scale)
         beta, only_down = self._schedule(ctx)

@@ -63,9 +63,17 @@ class SMOREDiffX(SMOREDiff):
     def setup(self):
         super().setup()
         if self.use_softR_ema:
-            shape = self.ema_dense_shape or (self.r_nnz,)
+            if self.ema_dense_shape is not None:
+                # the dense state rides the same storage rule as the
+                # propagated block (_softr_dtype): bf16 on TPU halves the
+                # read+write traffic of the EMA passes; f32 on CPU /
+                # softr_f32 keeps the per-edge equivalence pins exact
+                shape, dtype = self.ema_dense_shape, self._softr_dtype()
+            else:
+                # the exact (nnz,) per-edge state stays f32
+                shape, dtype = (self.r_nnz,), jnp.float32
             self.softR_ema_var = self.variable(
-                "state", "softR_ema", jnp.zeros, shape
+                "state", "softR_ema", lambda: jnp.zeros(shape, dtype)
             )
             # shape (1,) not (): 0-d leaves in the scanned-epoch carry hit a
             # pathological path on the axon backend (see lightgcnclip.py)
@@ -172,16 +180,20 @@ class SMOREDiffX(SMOREDiff):
         zero per-edge ops in the loop."""
         import jax
 
-        from recommendar_systems_tpu.graph.sparse import DenseUI, spmm_dtype
+        from recommendar_systems_tpu.graph.sparse import DenseUI
 
         scale = self._soft_scale_dense(ctx, ui, cond_item)  # [Up, Ip] f32
         up, ip = map(int, ui.mat.shape)
-        # full per-entry values r[u] * count * c[i] * scale (one fused pass)
-        vals = (
-            ui.mat.astype(jnp.float32)
-            * scale
-            * (ui.row_scale[:, None] * ui.col_scale[None, :])
-        )
+        cnt = ui.mat.astype(jnp.float32)
+        # Row factor folded BEFORE materializing the per-entry values: the
+        # renorm row sum is r[u] * sum_i(count * scale * c[i]) — one matvec
+        # over (count * scale) — so the full block
+        # r * count * c * scale * (orig/new_row)[u] is produced in a SINGLE
+        # fused elementwise pass instead of materialize -> row-reduce ->
+        # re-scale (one fewer full [Up, Ip] f32 round trip per step; same
+        # sum up to f32 ordering, which the dense-path contract already
+        # admits for the renorm reduction).
+        row_fac = ui.row_scale
         if self.renorm_softR:
             orig = ctx.get("softR_orig_row")
             if orig is None:
@@ -192,24 +204,27 @@ class SMOREDiffX(SMOREDiff):
                 jnp.pad(orig, (0, up - orig.shape[0]))
                 if up != orig.shape[0] else orig
             )
-            new_row = jnp.maximum(vals.sum(axis=1), 1e-6)
-            vals = vals * (orig_p / new_row)[:, None]
+            cs = jax.lax.dot_general(
+                cnt * scale, ui.col_scale[:, None],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )[:, 0]
+            new_row = jnp.maximum(ui.row_scale * cs, 1e-6)
+            row_fac = ui.row_scale * orig_p / new_row
+        vals = cnt * scale * (row_fac[:, None] * ui.col_scale[None, :])
+        tgt = self._softr_dtype()
         if self.use_softR_ema:
-            prev = self.softR_ema_var.value
+            prev = self.softR_ema_var.value.astype(jnp.float32)
             new_ema = jnp.where(
                 self.softR_ema_init.value,
                 (1 - self.softR_ema_tau) * prev + self.softR_ema_tau * vals,
                 vals,
-            )
+            ).astype(tgt)  # state and propagated block share one buffer
             if train and not self.is_initializing():
                 self.softR_ema_var.value = jax.lax.stop_gradient(new_ema)
                 self.softR_ema_init.value = jnp.ones((1,), jnp.bool_)
-            vals = new_ema
-        # the state stays exact f32; only the PROPAGATED block narrows to
-        # bf16 on TPU (same rule as SMOREDiff's perturbed block)
-        tgt = spmm_dtype() or (
-            jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
-        )
+            return DenseUI(new_ema, ui.dims, None, None)
         return DenseUI(vals.astype(tgt), ui.dims, None, None)
 
     def build_soft_r(self, ctx, R: COO, cond_item: jnp.ndarray,
