@@ -204,12 +204,11 @@ class SMOREDiffX(SMOREDiff):
                 jnp.pad(orig, (0, up - orig.shape[0]))
                 if up != orig.shape[0] else orig
             )
-            cs = jax.lax.dot_general(
-                cnt * scale, ui.col_scale[:, None],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )[:, 0]
+            # fused VPU multiply-reduce (NOT an MXU matvec): a dot_general
+            # would force materializing cnt*scale f32 as a separate MXU
+            # operand (a full [Up, Ip] round trip); the reduce fuses into
+            # the scale producer chain and reads each operand once
+            cs = jnp.sum(cnt * scale * ui.col_scale[None, :], axis=1)
             new_row = jnp.maximum(ui.row_scale * cs, 1e-6)
             row_fac = ui.row_scale * orig_p / new_row
         vals = cnt * scale * (row_fac[:, None] * ui.col_scale[None, :])
@@ -260,17 +259,16 @@ class SMOREDiffX(SMOREDiff):
                     R.vals, R.rows, num_segments=self.n_users
                 )
             if scale is not None:
-                # sum_e r[u] c[i] scale[u,i] as ONE dense matvec over the
-                # factored count block — replaces a serialized per-edge
-                # segment_sum (same sum up to f32 ordering); HIGHEST keeps
-                # the f32 scales unrounded on the MXU
-                cs = jax.lax.dot_general(
-                    ui.mat.astype(jnp.float32) * scale,
-                    ui.col_scale[:, None],
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )[:, 0]
+                # sum_e r[u] c[i] scale[u,i] as ONE fused dense
+                # multiply-reduce over the factored count block — replaces
+                # a serialized per-edge segment_sum (same sum up to f32
+                # ordering); VPU reduce, so no separate cnt*scale
+                # materialization for an MXU operand
+                cs = jnp.sum(
+                    ui.mat.astype(jnp.float32) * scale
+                    * ui.col_scale[None, :],
+                    axis=1,
+                )
                 new_row = jnp.maximum(
                     (ui.row_scale * cs)[: self.n_users], 1e-6
                 )
