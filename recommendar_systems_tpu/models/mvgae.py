@@ -28,6 +28,7 @@ from recommendar_systems_tpu.models.layers import (
     Dense,
     l2_normalize,
     torch_linear_bias,
+    torch_linear_kernel,
     xavier_normal,
 )
 from recommendar_systems_tpu.models.losses import _wmean
@@ -69,24 +70,33 @@ class _VGCN(nn.Module):
                      name="MLP")(features)
         x = l2_normalize(jnp.concatenate([preference, temp], axis=0))
 
+        # conv weights: the reference OVERRIDES BaseModel's PyG-uniform
+        # reset with nn.init.xavier_normal_ (`mvgae.py:206,249`); only the
+        # conv BIAS keeps the PyG uniform(in_channels) init.  Round-4
+        # finding: initializing the weights PyG-uniform too (~2x smaller
+        # std) halves the converged recall@20 on the settlement synthetic —
+        # the same init-contract class of bug as SLMRec (PARITY.md).
         dims = [(self.dim_latent, self.dim_id), (self.dim_id, self.dim_id)]
         for li in range(min(self.n_layers, 2)):
             d_in, d_out = dims[li]
-            w = self.param(f"conv_w{li+1}", _pyg_uniform(d_in), (d_in, d_out))
+            w = self.param(f"conv_w{li+1}", xavier_normal, (d_in, d_out))
             b = self.param(f"conv_b{li+1}", _pyg_uniform(d_in), (d_out,))
             h = lrelu(self._conv(adj, x, w, b, train))
-            g = Dense(self.dim_id, kernel_init=xavier_normal,
+            # g_layer2's xavier line is COMMENTED OUT in the reference
+            # (`mvgae.py:231`), so it keeps the torch-Linear default kernel
+            g_kernel = xavier_normal if li == 0 else torch_linear_kernel
+            g = Dense(self.dim_id, kernel_init=g_kernel,
                       bias_init=torch_linear_bias(self.dim_id),
                       name=f"g{li+1}")
             x = lrelu(g(h))
 
-        w4 = self.param("conv_w4", _pyg_uniform(self.dim_id), (self.dim_id, self.dim_id))
+        w4 = self.param("conv_w4", xavier_normal, (self.dim_id, self.dim_id))
         b4 = self.param("conv_b4", _pyg_uniform(self.dim_id), (self.dim_id,))
         mu_h = lrelu(self._conv(adj, x, w4, b4, train))
         x_hat4 = lrelu(Dense(self.dim_id, kernel_init=xavier_normal, bias_init=torch_linear_bias(self.dim_id), name="linear4")(x))
         mu = Dense(self.dim_id, kernel_init=xavier_normal, bias_init=torch_linear_bias(self.dim_id), name="g4")(mu_h) + x_hat4
 
-        w5 = self.param("conv_w5", _pyg_uniform(self.dim_id), (self.dim_id, self.dim_id))
+        w5 = self.param("conv_w5", xavier_normal, (self.dim_id, self.dim_id))
         b5 = self.param("conv_b5", _pyg_uniform(self.dim_id), (self.dim_id,))
         lv_h = lrelu(self._conv(adj, x, w5, b5, train))
         x_hat5 = lrelu(Dense(self.dim_id, kernel_init=xavier_normal, bias_init=torch_linear_bias(self.dim_id), name="linear5")(x))
