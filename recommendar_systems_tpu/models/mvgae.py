@@ -126,6 +126,22 @@ class MVGAE(RecModel):
         self.v_gcn = _VGCN(self.n_users, self.embedding_size, 128, self.n_layers, name="v_gcn")
         self.t_gcn = _VGCN(self.n_users, self.embedding_size, 128, self.n_layers, name="t_gcn")
         self.c_gcn = _VGCN(self.n_users, self.embedding_size, 128, self.n_layers, name="c_gcn")
+        # `full_sort_predict` reads `self.result_embed` — which is ONLY
+        # ever (re)assigned inside forward(), i.e. during the last
+        # TRAINING batch, with dropout/train-mode active (`mvgae.py:60,
+        # 114-118, 176-181`); eval never recomputes it.  Round-4 finding:
+        # this is LOAD-BEARING (clean eval-mode recompute converges to
+        # recall@20 0.052 vs 0.108 with the reference semantics on the
+        # settlement synthetic) — the model co-adapts to train-mode
+        # embeddings.  Carried in the flax 'state' collection through the
+        # scanned epoch like SMOREDiffX's EMA state.
+        self.result_var = self.variable(
+            "state", "result_embed",
+            jnp.zeros, (self.n_users + self.n_items, self.embedding_size),
+        )
+        self.result_init = self.variable(
+            "state", "result_init", lambda: jnp.zeros((1,), jnp.bool_)
+        )
 
     def encode(self, ctx, train: bool):
         v_mu, v_lv = self.v_gcn(ctx["adj"], ctx["v_feat"], ctx["v_preference"], train)
@@ -167,6 +183,12 @@ class MVGAE(RecModel):
         users, pos, neg = batch["users"], batch["pos_items"], batch["neg_items"]
         w = batch.get("weight")
         pd_mu, pd_lv, (v_mu, v_lv), (t_mu, t_lv), (c_mu, c_lv) = self.encode(ctx, train)
+        if train and not self.is_initializing():
+            # reference semantics: result_embed = sigmoid(pd_mu) of THIS
+            # (train-mode) forward, read verbatim by eval (see setup)
+            result = jax.nn.sigmoid(pd_mu) if self.sigmoid_result else pd_mu
+            self.result_var.value = jax.lax.stop_gradient(result)
+            self.result_init.value = jnp.ones((1,), jnp.bool_)
         z = self._reparam(pd_mu, pd_lv, train)
         z_v = self._reparam(v_mu, v_lv, train)
         z_t = self._reparam(t_mu, t_lv, train)
@@ -179,8 +201,13 @@ class MVGAE(RecModel):
         return total, {"recon": loss_multi, "modal": loss_v + loss_t + loss_c}
 
     def eval_embeddings(self, ctx):
+        # stored train-forward embeddings (reference `full_sort_predict`,
+        # see setup); clean eval-mode recompute only BEFORE any training
+        # step (the reference's pre-training result_embed is raw random)
         pd_mu, *_ = self.encode(ctx, train=False)
-        result = jax.nn.sigmoid(pd_mu) if self.sigmoid_result else pd_mu
+        clean = jax.nn.sigmoid(pd_mu) if self.sigmoid_result else pd_mu
+        result = jnp.where(self.result_init.value, self.result_var.value,
+                           clean)
         return result[: self.n_users], result[self.n_users :]
 
     @classmethod

@@ -90,7 +90,8 @@ def test_mvgae_loss_parity(tmp_path):
     ctx["v_preference"] = _t2n(ref.v_gcn.preference)
     ctx["t_preference"] = _t2n(ref.t_gcn.preference)
     ctx["c_preference"] = _t2n(ref.c_gcn.preference)
-    init = _init_our(model, ctx)
+    variables = _init_our(model, ctx, state=True)
+    init = variables["params"]
     mapping = {}
     for tower in ("v_gcn", "t_gcn", "c_gcn"):
         mapping[(tower, "MLP", "kernel")] = (f"{tower}.MLP.weight", "T")
@@ -105,7 +106,10 @@ def test_mvgae_loss_parity(tmp_path):
                 f"{tower}.linear_layer{k}.weight", "T")
             mapping[(tower, f"linear{k}", "bias")] = f"{tower}.linear_layer{k}.bias"
     params = rc.map_flax_params(init, mapping, vals)
-    ours, parts = rc.our_loss_value(model, ctx, params, bu, bp, bn, train=False)
+    ours, parts = rc.our_loss_value(
+        model, ctx, params, bu, bp, bn, train=False,
+        extra_vars={"state": variables["state"]},
+    )
     assert abs(ours - ref_loss) < 1e-4, (ours, ref_loss, parts)
 
 

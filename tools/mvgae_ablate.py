@@ -21,7 +21,8 @@ import tempfile
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="base",
-                    choices=["base", "noise_off", "dropout_off", "both_off"])
+                    choices=["base", "noise_off", "dropout_off", "both_off",
+                             "eval_traindrop"])
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--users", type=int, default=1000)
     ap.add_argument("--items", type=int, default=400)
@@ -45,6 +46,25 @@ def main() -> None:
             return mu
 
         M.MVGAE._reparam = _reparam
+    if args.mode == "eval_traindrop":
+        # reference eval semantics: full_sort_predict reads result_embed
+        # from the LAST TRAINING forward (dropout active) — mimic with a
+        # fixed-draw dropout in the eval forward
+        from flax import linen as fnn
+
+        from recommendar_systems_tpu.graph.sparse import spmm
+        from recommendar_systems_tpu.models.layers import l2_normalize
+
+        def _conv(self, adj, x, w, b, train):
+            h = l2_normalize(spmm(adj, x @ w) + b)
+            if train:
+                return fnn.Dropout(rate=0.1, deterministic=False)(h)
+            keep = jax.random.bernoulli(
+                jax.random.key(4242 + x.shape[0]), 0.9, h.shape
+            )
+            return jnp.where(keep, h / 0.9, 0.0)
+
+        M._VGCN._conv = _conv
     if args.mode in ("dropout_off", "both_off"):
         from recommendar_systems_tpu.graph.sparse import spmm
         from recommendar_systems_tpu.models.layers import l2_normalize
