@@ -137,6 +137,37 @@ class GRCN(RecModel):
                 pref = l2_normalize(pref)
         return pref, features
 
+    def _routing_dense_pair(self, ctx, pv, v_mlp, v_feats, pt, t_mlp,
+                            t_feats):
+        """Both modality towers' routing loops jointly: each iteration
+        streams the int8 mask ONCE for both (ops/masked_attn.py
+        masked_attention2) instead of once per tower.  Only used on the
+        fused tile-padded path; identical math to two `_routing_dense`
+        calls."""
+        from recommendar_systems_tpu.ops.masked_attn import (
+            masked_attention2_auto,
+        )
+
+        fv = nn.leaky_relu(v_mlp(v_feats), negative_slope=0.01)
+        ft = nn.leaky_relu(t_mlp(t_feats), negative_slope=0.01)
+        if self.has_norm:
+            pv, fv = l2_normalize(pv), l2_normalize(fv)
+            pt, ft = l2_normalize(pt), l2_normalize(ft)
+        mask = ctx["mask_ui"]
+        up, ip = mask.shape
+        pv = jnp.pad(pv, ((0, up - pv.shape[0]), (0, 0)))
+        pt = jnp.pad(pt, ((0, up - pt.shape[0]), (0, 0)))
+        fv = jnp.pad(fv, ((0, ip - fv.shape[0]), (0, 0)))
+        ft = jnp.pad(ft, ((0, ip - ft.shape[0]), (0, 0)))
+        for _ in range(self.num_routing):
+            uv, ut = masked_attention2_auto(pv, fv, pt, ft, mask,
+                                            bounded=self.has_norm)
+            pv = pv + uv
+            pt = pt + ut
+            if self.has_norm:
+                pv, pt = l2_normalize(pv), l2_normalize(pt)
+        return pv, fv, pt, ft
+
     def _content_tower(self, ctx, pref, mlp, feats):
         mask = ctx.get("mask_ui")
         if mask is not None:
@@ -187,10 +218,10 @@ class GRCN(RecModel):
             gated_dual_hop_pair,
         )
 
-        pv, fv = self._routing_dense(ctx, self.v_pref, self.v_mlp,
-                                     ctx["v_feat"])
-        pt, ft = self._routing_dense(ctx, self.t_pref, self.t_mlp,
-                                     ctx["t_feat"])
+        pv, fv, pt, ft = self._routing_dense_pair(
+            ctx, self.v_pref, self.v_mlp, ctx["v_feat"],
+            self.t_pref, self.t_mlp, ctx["t_feat"],
+        )
         mask = ctx["mask_ui"]
         n_u, n_i = mask.shape
         U, I = self.n_users, self.n_items

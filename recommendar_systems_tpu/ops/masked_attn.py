@@ -260,6 +260,242 @@ def _vjp_bwd(bounded, res, g):
 masked_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Dual-modality variant: ONE mask stream serves both towers
+# ---------------------------------------------------------------------------
+#
+# GRCN routes its two modality towers over the SAME interaction mask; as
+# two `masked_attention` calls per routing iteration the int8 mask
+# (~139 MB at baby scale) is streamed twice per direction.  The dual
+# kernel computes both modalities per row tile (the mask tile is read
+# once and both score/softmax/out chains run on it), halving the mask HBM
+# traffic and the kernel-launch count of the routing loop.
+
+
+def _fwd2_kernel(bounded, q1_ref, q2_ref, mask_ref, k1_any, k2_any,
+                 out1_ref, out2_ref, k1_v, k2_v, sems):
+    r = pl.program_id(0)
+
+    @pl.when(r == 0)
+    def _():
+        cp = pltpu.make_async_copy(k1_any, k1_v, sems.at[0])
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(k2_any, k2_v, sems.at[1])
+        cp.start()
+        cp.wait()
+
+    m = mask_ref[:].astype(jnp.float32)
+    for q_ref, k_v, out_ref in ((q1_ref, k1_v, out1_ref),
+                                (q2_ref, k2_v, out2_ref)):
+        k = k_v[:]
+        s = jax.lax.dot_general(
+            q_ref[:], k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = _softmax_tile(s, m, bounded)
+        out_ref[:] = jnp.dot(
+            p.astype(jnp.bfloat16), k, preferred_element_type=jnp.float32
+        )
+
+
+def _bwd2_kernel(bounded, q1_ref, q2_ref, mask_ref, g1_ref, g2_ref,
+                 out1_ref, out2_ref, k1_any, k2_any,
+                 dq1_ref, dq2_ref, dk1_any, dk2_any,
+                 k1_v, k2_v, dk1_acc, dk2_acc, sems):
+    r = pl.program_id(0)
+    n_r = pl.num_programs(0)
+
+    @pl.when(r == 0)
+    def _():
+        cp = pltpu.make_async_copy(k1_any, k1_v, sems.at[0])
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(k2_any, k2_v, sems.at[1])
+        cp.start()
+        cp.wait()
+
+    m = mask_ref[:].astype(jnp.float32)
+
+    def modality(q_ref, g_ref, out_ref, k_v, dq_ref, dk_acc):
+        k = k_v[:]
+        s = jax.lax.dot_general(
+            q_ref[:], k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = _softmax_tile(s, m, bounded)
+        g = g_ref[:].astype(jnp.bfloat16)
+        dp = jax.lax.dot_general(
+            g, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        D = jnp.sum(g_ref[:] * out_ref[:], axis=1, keepdims=True)
+        ds = (p * (dp - D)).astype(jnp.bfloat16)
+        dq_ref[:] = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        contrib = jax.lax.dot_general(
+            ds, q_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(r == 0)
+        def _():
+            dk_acc[:] = contrib
+
+        @pl.when(r > 0)
+        def _():
+            dk_acc[:] = dk_acc[:] + contrib
+
+    modality(q1_ref, g1_ref, out1_ref, k1_v, dq1_ref, dk1_acc)
+    modality(q2_ref, g2_ref, out2_ref, k2_v, dq2_ref, dk2_acc)
+
+    @pl.when(r == n_r - 1)
+    def _():
+        cp = pltpu.make_async_copy(dk1_acc, dk1_any, sems.at[2])
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(dk2_acc, dk2_any, sems.at[3])
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def masked_attention2(q1, k1, q2, k2, mask, bounded=False):
+    """Two `masked_attention`s over one shared mask stream:
+    ``(softmax(q1 k1ᵀ, mask) k1, softmax(q2 k2ᵀ, mask) k2)``."""
+    return _fwd2_impl(q1, k1, q2, k2, mask, bounded)
+
+
+def _fwd2_impl(q1, k1, q2, k2, mask, bounded):
+    U, I = mask.shape
+    c = q1.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    q1 = q1.astype(jnp.bfloat16)
+    q2 = q2.astype(jnp.bfloat16)
+    k1 = k1.astype(jnp.bfloat16)
+    k2 = k2.astype(jnp.bfloat16)
+    bu = _block_u(U, I, 2 * c, n_score_bufs=4)
+    qspec = pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd2_kernel, bounded),
+        grid=(U // bu,),
+        in_specs=[
+            qspec,
+            qspec,
+            pl.BlockSpec((bu, I), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[qspec, qspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(q1, q2, mask, k1, k2)
+
+
+def _vjp2_fwd(q1, k1, q2, k2, mask, bounded):
+    out1, out2 = _fwd2_impl(q1, k1, q2, k2, mask, bounded)
+    return (out1, out2), (q1, k1, q2, k2, mask, out1, out2)
+
+
+def _vjp2_bwd(bounded, res, cots):
+    q1, k1, q2, k2, mask, out1, out2 = res
+    g1, g2 = cots
+    U, I = mask.shape
+    c = q1.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    q1b = q1.astype(jnp.bfloat16)
+    q2b = q2.astype(jnp.bfloat16)
+    k1b = k1.astype(jnp.bfloat16)
+    k2b = k2.astype(jnp.bfloat16)
+    bu = _block_u(U, I, 2 * c, n_score_bufs=6)
+    qspec = pl.BlockSpec((bu, c), lambda r: (r, 0), memory_space=pltpu.VMEM)
+    dq1, dq2, dk1, dk2 = pl.pallas_call(
+        functools.partial(_bwd2_kernel, bounded),
+        grid=(U // bu,),
+        in_specs=[
+            qspec,
+            qspec,
+            pl.BlockSpec((bu, I), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            qspec,
+            qspec,
+            qspec,
+            qspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            qspec,
+            qspec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+            jax.ShapeDtypeStruct((U, c), jnp.float32),
+            jax.ShapeDtypeStruct((I, c), jnp.float32),
+            jax.ShapeDtypeStruct((I, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.bfloat16),
+            pltpu.VMEM((I, c), jnp.float32),
+            pltpu.VMEM((I, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(q1b, q2b, mask, g1.astype(jnp.float32), g2.astype(jnp.float32),
+      out1, out2, k1b, k2b)
+    if jnp.issubdtype(mask.dtype, jnp.integer):
+        import numpy as np
+
+        dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    else:
+        dmask = jnp.zeros_like(mask)
+    return (dq1.astype(q1.dtype), dk1.astype(k1.dtype),
+            dq2.astype(q2.dtype), dk2.astype(k2.dtype), dmask)
+
+
+masked_attention2.defvjp(_vjp2_fwd, _vjp2_bwd)
+
+
+def masked_attention2_auto(q1, k1, q2, k2, mask, bounded=False):
+    """`masked_attention2` with the same active-mesh row sharding rule as
+    `masked_attention_auto`."""
+    from recommendar_systems_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    m = int(mesh.shape.get("model", 1)) if mesh is not None else 1
+    U = int(mask.shape[0])
+    if mesh is None or m <= 1 or U % (m * 8) != 0:
+        return masked_attention2(q1, k1, q2, k2, mask, bounded)
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        lambda q1_, k1_, q2_, k2_, m_: masked_attention2(
+            q1_, k1_, q2_, k2_, m_, bounded),
+        mesh=mesh,
+        in_specs=(P("model", None), P(None, None), P("model", None),
+                  P(None, None), P("model", None)),
+        out_specs=(P("model", None), P("model", None)),
+        check_vma=False,
+    )(q1, k1, q2, k2, mask)
+
+
 def masked_attention_auto(q, k, mask, bounded=False):
     """``masked_attention`` that row-shards itself over the active mesh's
     'model' axis (q and mask rows split; k replicated; d_k completed by

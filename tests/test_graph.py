@@ -334,6 +334,51 @@ def test_masked_attention_kernel_interpret_matches_dense():
         assert rel < 2e-2, f"relative grad error {rel}"
 
 
+def test_masked_attention2_matches_two_singles():
+    """Dual-modality masked attention (one mask stream) == two single
+    calls, forward and full VJP, bounded and unbounded."""
+    import jax
+
+    from recommendar_systems_tpu.ops.masked_attn import (
+        masked_attention,
+        masked_attention2,
+    )
+
+    rng = np.random.default_rng(11)
+    U, I, c = 64, 256, 32
+    q1 = jnp.asarray(rng.normal(size=(U, c)).astype(np.float32))
+    q2 = jnp.asarray(rng.normal(size=(U, c)).astype(np.float32))
+    k1 = jnp.asarray(rng.normal(size=(I, c)).astype(np.float32))
+    k2 = jnp.asarray(rng.normal(size=(I, c)).astype(np.float32))
+    m = (rng.random((U, I)) < 0.05).astype(np.int8)
+    m[3] = 0
+    mask = jnp.asarray(m)
+
+    for bounded in (False, True):
+        o1, o2 = masked_attention2(q1, k1, q2, k2, mask, bounded)
+        r1 = masked_attention(q1, k1, mask, bounded)
+        r2 = masked_attention(q2, k2, mask, bounded)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(r1),
+                                   rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(r2),
+                                   rtol=2e-2, atol=2e-3)
+
+        def loss2(q1, k1, q2, k2):
+            a, b = masked_attention2(q1, k1, q2, k2, mask, bounded)
+            return jnp.sum(a ** 2) + jnp.sum(b ** 3)
+
+        def loss1(q1, k1, q2, k2):
+            return (jnp.sum(masked_attention(q1, k1, mask, bounded) ** 2)
+                    + jnp.sum(masked_attention(q2, k2, mask, bounded) ** 3))
+
+        g2 = jax.grad(loss2, argnums=(0, 1, 2, 3))(q1, k1, q2, k2)
+        g1 = jax.grad(loss1, argnums=(0, 1, 2, 3))(q1, k1, q2, k2)
+        for a, b in zip(g2, g1):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+            assert rel < 1e-5, rel
+
+
 def test_coo_to_densemat_matches_coo():
     """Jit-safe scatter densify (SMOREDiff soft-R fast path) is exact,
     including duplicate-edge accumulation."""
