@@ -218,10 +218,21 @@ class GRCN(RecModel):
             gated_dual_hop_pair,
         )
 
-        pv, fv, pt, ft = self._routing_dense_pair(
-            ctx, self.v_pref, self.v_mlp, ctx["v_feat"],
-            self.t_pref, self.t_mlp, ctx["t_feat"],
-        )
+        if ctx.get("routing_pair") is not None:
+            # dual-modality routing kernel — measured SLOWER at baby scale
+            # (71.2k vs 77.4k ex/s: the shared mask stream does not pay for
+            # the halved row tiles), kept as an opt-in (`routing_pair=true`)
+            # for narrower-VMEM shapes where the single kernel's tiles are
+            # already minimal
+            pv, fv, pt, ft = self._routing_dense_pair(
+                ctx, self.v_pref, self.v_mlp, ctx["v_feat"],
+                self.t_pref, self.t_mlp, ctx["t_feat"],
+            )
+        else:
+            pv, fv = self._routing_dense(ctx, self.v_pref, self.v_mlp,
+                                         ctx["v_feat"])
+            pt, ft = self._routing_dense(ctx, self.t_pref, self.t_mlp,
+                                         ctx["t_feat"])
         mask = ctx["mask_ui"]
         n_u, n_i = mask.shape
         U, I = self.n_users, self.n_items
@@ -519,6 +530,8 @@ class GRCN(RecModel):
                 if (grcn_fused.fits_vmem(up, ip, c, d) and not under_mesh
                         and egcn_on and has_norm):
                     ctx["fused_egcn"] = True
+                    if bool(config.get("routing_pair")):
+                        ctx["routing_pair"] = True
                     pair_knob = config.get("fused_pair")
                     if pair_knob is None or bool(pair_knob):
                         # two-hop pair op (combined backward); fused_pair=
