@@ -154,6 +154,7 @@ def quick_start(
 
     model_cls = get_model(model)
     best_idx = -1
+    best_trainer = None
     best_valid_score = None
     best_valid_result = best_test_upon_valid = None
     results = []
@@ -167,6 +168,9 @@ def quick_start(
             f"========={idx + 1}/{total}: Parameters:{axes}={list(combo)}======="
         )
 
+        if config.get("export_dir"):
+            # serving export wants the best-valid state, not end-of-training
+            run_cfg["keep_best_state"] = True
         m = model_cls.from_config(run_cfg, data)
         ctx = model_cls.build_ctx(run_cfg, data)
         trainer = Trainer(run_cfg, m, ctx, data, mg=mg)
@@ -184,6 +188,7 @@ def quick_start(
             best_valid_result = valid_result
             best_test_upon_valid = test_result
             best_idx = idx
+            best_trainer = trainer
 
     logger.info("\n============All Over=====================")
     for combo, vs, vr, tr in results:
@@ -196,6 +201,14 @@ def quick_start(
         f"\tParameters: {axes}={results[best_idx][0]},"
         f"\nValid: {dict2str(best_valid_result)},\nTest: {dict2str(best_test_upon_valid)}\n\n"
     )
+    if config.get("export_dir"):
+        from recommendar_systems_tpu.serve import export_artifact
+
+        export_artifact(
+            best_trainer, str(config["export_dir"]),
+            quantize_int8=bool(config.get("export_int8") or False),
+        )
+        logger.info(f"serving artifact (best combo) exported to {config['export_dir']}")
     return {
         "best_valid_score": best_valid_score,
         "best_valid_result": best_valid_result,

@@ -165,6 +165,12 @@ class Trainer:
         self.best_valid_score = -1.0
         self.best_valid_result: Dict[str, float] = {}
         self.best_test_upon_valid: Dict[str, float] = {}
+        # opt-in host-side snapshot of the best-valid parameters (serving
+        # export); a HOST copy because the scanned-epoch jit donates the
+        # device buffers (holding references to donated arrays is unsafe)
+        self.keep_best_state = bool(config.get("keep_best_state") or False)
+        self._best_params = None
+        self._best_net_state = None
 
         # cap on scan steps per device dispatch (0 = whole epoch in one);
         # large-scale runs over the axon tunnel need dispatches under ~1 min
@@ -769,6 +775,9 @@ class Trainer:
                         )
                     self.best_valid_result = valid_result
                     self.best_test_upon_valid = test_result
+                    if self.keep_best_state:
+                        self._best_params = jax.device_get(self.params)
+                        self._best_net_state = jax.device_get(self.net_state)
                     if saved:
                         self.save_checkpoint()
                 if ckpt_mgr is not None and (epoch_idx + 1) % int(
@@ -827,6 +836,13 @@ class Trainer:
             topk_all, bundle.gt_list, bundle.gt_len,
             is_test=is_test, idx=idx, eval_users=eval_users,
         )
+
+    def best_state(self):
+        """(params, net_state) at the best-valid epoch when
+        ``keep_best_state`` was on; otherwise the current state."""
+        if self._best_params is not None:
+            return self._best_params, self._best_net_state
+        return self.params, self.net_state
 
     # ---------------------------------------------------------- checkpointing
     def checkpoint_path(self) -> str:
