@@ -67,6 +67,7 @@ class ServingEngine:
         self.n_users = int(meta["n_users"])
         self.n_items = int(meta["n_items"])
         self.mode = meta.get("mode", "embedding")
+        self.approx_recall_target = float(meta.get("approx_recall_target", 0.95))
         self._mesh = None
         self._fns: Dict = {}
 
@@ -102,47 +103,119 @@ class ServingEngine:
         return cls(meta, arrays)
 
     # ------------------------------------------------------------- internals
-    def _item_scores(self, ue_rows: jnp.ndarray) -> jnp.ndarray:
-        """[B, I] scores for a block of user embeddings."""
+    # NOTE: every jitted function below takes the embedding tables as
+    # ARGUMENTS, never as closure constants — closure-captured device arrays
+    # fail to lower on the axon backend and inline megabytes of table bytes
+    # into the remote compile request (HTTP 413 at 1M-item catalogs); see
+    # the same rule at Trainer._data_arrays (CLAUDE.md).
+    def _item_operands(self):
         if self.item_q is not None:
-            # int8 catalog: XLA fuses the convert into the matmul A-read
-            raw = ue_rows @ self.item_q.T.astype(jnp.bfloat16).astype(jnp.float32)
-            return raw * self.item_scale[None, :]
-        return ue_rows @ self.item_emb.T
+            return (self.item_q, self.item_scale)
+        return (self.item_emb,)
 
-    def _mask_topk(self, scores: jnp.ndarray, rows: jnp.ndarray, k: int):
+    @staticmethod
+    def _scores(ue_rows: jnp.ndarray, *ops) -> jnp.ndarray:
+        """[B, I] scores; ``ops`` is (item_emb,) or (item_q, item_scale)."""
+        if len(ops) == 2:
+            iq, iscale = ops
+            # contract over d WITHOUT transposing the big operand so the
+            # int8->bf16 convert fuses into the matmul A-read (the
+            # .T.astype form materializes a converted copy: 22.5 ms vs
+            # 1.8 ms measured at [1M, 64] — tools/probe_serving_1m.py)
+            raw = jnp.einsum(
+                "bd,id->bi", ue_rows.astype(jnp.bfloat16),
+                iq.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return raw * iscale[None, :]
+        return ue_rows @ ops[0].T
+
+    @staticmethod
+    def _mask_topk(scores: jnp.ndarray, rows: jnp.ndarray, k: int):
         B = scores.shape[0]
         ext = jnp.concatenate([scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
         b = jnp.arange(B)[:, None]
         ext = ext.at[b, rows].set(NEG)
         return jax.lax.top_k(ext[:, :-1], k)
 
-    def _topk_fn(self, k: int, exclude: bool, B: int):
-        key = ("topk", k, exclude, B, self._mesh is not None)
+    def _topk_fn(self, k: int, exclude: bool, B: int, approx: bool = False):
+        key = ("topk", k, exclude, B, approx, self._mesh is not None,
+               self.item_q is not None)
         if key not in self._fns:
             if self._mesh is not None:
-                self._fns[key] = self._build_sharded_topk(k, exclude)
+                jfn = self._build_sharded_topk(k, exclude)
             else:
-                def impl(users):
-                    scores = self._item_scores(self.user_emb[users])
-                    rows = (self._seen_j[users] if exclude
-                            else jnp.full((users.shape[0], 1), self.n_items,
+                n_items = self.n_items
+                mask_topk, scores_of = self._mask_topk, self._scores
+                recall_target = self.approx_recall_target
+
+                def impl(ue, seen, users, *ops):
+                    s = scores_of(ue[users], *ops)
+                    if approx:
+                        # wide-catalog MIPS path (probe-backed,
+                        # tools/probe_serving_1m.py at I=1M, B=256 on v5e:
+                        # exact masked top-k 24.7 ms -> this form 1.1 ms).
+                        # Two structural moves: (1) lax.approx_max_k over
+                        # the RAW bf16 scores instead of exact lax.top_k
+                        # (the 17 ms row-wide sort); (2) no full-width
+                        # mask scatter (the 6.7 ms [B, I] pass) — take
+                        # k+maxp candidates and exclude seen by membership
+                        # on the tiny candidate set: a user's seen items
+                        # can displace at most maxp candidates, so k real
+                        # recommendations always survive (exact given the
+                        # approx recall).
+                        slack = seen.shape[1] if exclude else 0
+                        kk = min(k + slack, s.shape[1])
+                        v, i = jax.lax.approx_max_k(
+                            s.astype(jnp.bfloat16), kk,
+                            recall_target=recall_target)
+                        v = v.astype(jnp.float32)
+                        if exclude:
+                            rows = seen[users]
+                            hit = (i[:, :, None] == rows[:, None, :]).any(-1)
+                            v = jnp.where(hit, NEG, v)
+                        vv, pos = jax.lax.top_k(v, k)
+                        ii = jnp.take_along_axis(i, pos, axis=1)
+                        return vv, ii
+                    rows = (seen[users] if exclude
+                            else jnp.full((users.shape[0], 1), n_items,
                                           dtype=jnp.int32))
-                    return self._mask_topk(scores, rows, k)
-                self._fns[key] = jax.jit(impl)
-        return self._fns[key]
+                    return mask_topk(s, rows, k)
+
+                jfn = jax.jit(impl)
+            self._fns[key] = jfn
+        jfn = self._fns[key]
+        ops = self._item_operands()
+        return lambda users: jfn(self.user_emb, self._seen_j, users, *ops)
+
+    def _topk_parts(self, k: int, exclude: bool, B: int, approx: bool = False):
+        """(jitted_fn, array_args) for callers that re-trace the query under
+        their own jit (e.g. the in-dispatch-repetition microbench) — the
+        arrays must ride as arguments there too, not closure constants."""
+        self._topk_fn(k, exclude, B, approx)  # populate cache
+        key = ("topk", k, exclude, B, approx, self._mesh is not None,
+               self.item_q is not None)
+        # call as: jfn(ue, seen, users, *ops)
+        return self._fns[key], (self.user_emb, self._seen_j), self._item_operands()
 
     # ---------------------------------------------------------------- public
     def topk(self, user_ids: Sequence[int], k: int = 20,
-             exclude_seen: bool = True) -> Tuple[np.ndarray, np.ndarray]:
-        """(items [B,k] int32, scores [B,k] f32) for known user ids."""
+             exclude_seen: bool = True, approx: bool = False
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """(items [B,k] int32, scores [B,k] f32) for known user ids.
+
+        ``approx=True`` ranks with ``lax.approx_max_k`` at
+        ``approx_recall_target`` (default 0.95) — the bandwidth-bound path
+        for catalogs in the 10^5–10^7 range where exact per-row top-k
+        dominates the query cost.
+        """
         ids = np.asarray(user_ids, dtype=np.int32)
         if self.mode == "topk_table":
             kk = min(k, self.topk_items.shape[1])
             return self.topk_items[ids, :kk], self.topk_scores[ids, :kk]
         B = _pow2_bucket(len(ids))
         pad = np.pad(ids, (0, B - len(ids)), constant_values=ids[-1] if len(ids) else 0)
-        v, i = self._topk_fn(k, exclude_seen, B)(jnp.asarray(pad))
+        v, i = self._topk_fn(k, exclude_seen, B, approx)(jnp.asarray(pad))
         return np.asarray(i)[: len(ids)], np.asarray(v)[: len(ids)]
 
     def score(self, user_ids: Sequence[int], item_ids: Sequence[int]) -> np.ndarray:
@@ -181,10 +254,12 @@ class ServingEngine:
         for r, h in enumerate(histories):
             rows[r, : len(h)] = np.asarray(h, dtype=np.int32)
 
-        def impl(ue_rows, rows_j):
-            return self._mask_topk(self._item_scores(ue_rows), rows_j, k)
+        mask_topk, scores_of = self._mask_topk, self._scores
 
-        v, i = jax.jit(impl)(ue, jnp.asarray(rows))
+        def impl(ue_rows, rows_j, *ops):
+            return mask_topk(scores_of(ue_rows, *ops), rows_j, k)
+
+        v, i = jax.jit(impl)(ue, jnp.asarray(rows), *self._item_operands())
         return np.asarray(i), np.asarray(v)
 
     # ---------------------------------------------------------------- sharded
@@ -204,11 +279,13 @@ class ServingEngine:
 
         mesh = self._mesh
         m = mesh.shape.get("model", 1)
+        n_items = self.n_items
+        scores_of = self._scores
 
-        def impl(users):
-            scores = self._item_scores(self.user_emb[users])
-            rows = (self._seen_j[users] if exclude
-                    else jnp.full((users.shape[0], 1), self.n_items,
+        def impl(ue, seen, users, *ops):
+            scores = scores_of(ue[users], *ops)
+            rows = (seen[users] if exclude
+                    else jnp.full((users.shape[0], 1), n_items,
                                   dtype=jnp.int32))
             B = scores.shape[0]
             ext = jnp.concatenate([scores, jnp.zeros((B, 1), scores.dtype)],
@@ -216,7 +293,7 @@ class ServingEngine:
             b = jnp.arange(B)[:, None]
             ext = ext.at[b, rows].set(NEG)
             scores = ext[:, :-1]
-            pad = (-self.n_items) % m
+            pad = (-n_items) % m
             if pad:
                 scores = jnp.pad(scores, ((0, 0), (0, pad)),
                                  constant_values=jnp.finfo(scores.dtype).min)

@@ -179,6 +179,24 @@ def test_topk_table_mode(ds, tmp_path):
     assert (np.diff(scores, axis=1) <= 1e-6).all()
 
 
+def test_approx_topk_close_to_exact(fitted, artifact):
+    """`approx=True` (lax.approx_max_k wide-catalog path) must broadly agree
+    with the exact ranking and keep the exclusion semantics."""
+    _, data = fitted
+    eng = ServingEngine.load(artifact)
+    users = np.arange(0, 120, 3, dtype=np.int32)
+    ex_i, _ = eng.topk(users, k=10)
+    ap_i, ap_v = eng.topk(users, k=10, approx=True)
+    overlap = np.mean([
+        len(np.intersect1d(ex_i[r], ap_i[r])) / 10 for r in range(len(users))
+    ])
+    assert overlap > 0.8, overlap
+    assert ap_v.dtype == np.float32
+    seen = _seen_lists(data)
+    for r, u in enumerate(users):
+        assert not np.intersect1d(ap_i[r], seen[u]).size
+
+
 def test_quick_start_export_dir(tmp_path, monkeypatch):
     """`export_dir=` on the CLI/quick_start path exports the BEST sweep
     combo at its best-valid state; the artifact loads and serves."""

@@ -31,12 +31,17 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--approx", action="store_true",
+                   help="rank with lax.approx_max_k (wide-catalog MIPS path)")
     p.add_argument("--users", type=int, default=19445)
     p.add_argument("--items", type=int, default=7050)
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--reps", type=int, default=50, help="in-dispatch batches")
     p.add_argument("--walls", type=int, default=9, help="wall-timed calls")
+    p.add_argument("--max-batch", type=int, default=4096,
+                   help="cap request batch (a [B, I] f32 score block must "
+                        "fit HBM: 4096x1M = 16 GB)")
     args = p.parse_args()
 
     import jax
@@ -69,37 +74,42 @@ def main() -> None:
     eng = ServingEngine(meta, arrays)
 
     for B in (16, 64, 256, 1024, 4096):
+        if B > args.max_batch:
+            continue
         ids = rng.integers(0, U, size=B).astype(np.int32)
-        eng.topk(ids, k=args.k)  # compile
+        eng.topk(ids, k=args.k, approx=args.approx)  # compile
         walls = []
         for _ in range(args.walls):
             t0 = time.perf_counter()
-            items, _ = eng.topk(ids, k=args.k)
+            items, _ = eng.topk(ids, k=args.k, approx=args.approx)
             np.asarray(items).sum()  # force host sync (CLAUDE.md)
             walls.append(time.perf_counter() - t0)
         wall_ms = float(np.median(walls) * 1e3)
 
-        # in-dispatch repetition: R different batches under one jit
+        # in-dispatch repetition: R different batches under one jit; the
+        # tables ride as ARGUMENTS of the outer jit too (closure constants
+        # blow the axon remote-compile request at 1M-item scale)
         R = args.reps
         batches = jnp.asarray(
             rng.integers(0, U, size=(R, B)).astype(np.int32))
-        fn = eng._topk_fn(args.k, True, B)
+        jfn, pre, ops = eng._topk_parts(args.k, True, B, args.approx)
 
-        def rep(bs):
+        def rep(ue_, seen_, bs, *ops_):
             def body(c, u):
-                v, i = fn(u)
+                v, i = jfn(ue_, seen_, u, *ops_)
                 return c + i.sum(), None
             out, _ = jax.lax.scan(body, jnp.int32(0), bs)
             return out
 
         repj = jax.jit(rep)
-        np.asarray(repj(batches)).sum()  # compile
+        np.asarray(repj(*pre, batches, *ops)).sum()  # compile
         t0 = time.perf_counter()
-        np.asarray(repj(batches)).sum()
+        np.asarray(repj(*pre, batches, *ops)).sum()
         dt = time.perf_counter() - t0
         dev_us_per_batch = dt / R * 1e6
         print(json.dumps({
             "bench": "serving_topk", "batch": B, "int8": args.int8,
+            "approx": args.approx,
             "wall_ms_median": round(wall_ms, 3),
             "wall_qps": round(B / (wall_ms / 1e3)),
             "device_us_per_batch": round(dev_us_per_batch, 1),
