@@ -151,6 +151,33 @@ def test_fold_in_overlap(fitted, artifact):
         assert not np.intersect1d(cold_items[r], hist[r]).size
 
 
+def test_export_stateful_model(ds, tmp_path):
+    """Export must capture flax net_state models correctly — MVGAE's eval
+    embeddings read `result_embed` carried in the 'state' collection (the
+    reference scores eval from the last training forward, PARITY.md)."""
+    cfg = make_config("MVGAE", epochs=2)
+    for ax in cfg["hyper_parameters"]:
+        if isinstance(cfg[ax], list) and cfg[ax]:
+            cfg[ax] = cfg[ax][0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("MVGAE")
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    trainer = Trainer(cfg, model, ctx, data)
+    trainer.init_state(1)
+    trainer.fit(saved=False, verbose=False)
+
+    out = tmp_path / "mvgae"
+    export_artifact(trainer, str(out))
+    eng = ServingEngine.load(str(out))
+    ue, ie = trainer._eval_embeddings_jit(
+        trainer.params, trainer.net_state, trainer.ctx)
+    np.testing.assert_allclose(np.asarray(eng.user_emb), np.asarray(ue),
+                               rtol=1e-6, atol=1e-6)
+    items, _ = eng.topk([0, 1], k=5)
+    assert items.shape == (2, 5)
+
+
 def test_topk_table_mode(ds, tmp_path):
     cfg = make_config("ItemKNNCBF", epochs=1)
     for ax in cfg["hyper_parameters"]:
