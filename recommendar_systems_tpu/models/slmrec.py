@@ -257,6 +257,15 @@ class SLMRec(RecModel):
         user, item, _ = self.compute(ctx)
         return jax.nn.sigmoid(user[users] @ item.T)
 
+    # serving export: sigmoid is strictly monotone, so the raw dot-product
+    # ranking is identical to full_scores; the engine re-applies the
+    # transform to the k returned scores only (serve/export.py)
+    serving_score_transform = "sigmoid"
+
+    def serving_embeddings(self, ctx):
+        user, item, _ = self.compute(ctx)
+        return user, item
+
     @classmethod
     def from_config(cls, config, data) -> "SLMRec":
         def _s(v):

@@ -18,20 +18,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def distributed_topk(
-    scores: jnp.ndarray, k: int, mesh: Mesh, axis: str = "model"
+    scores: jnp.ndarray, k: int, mesh: Mesh, axis: str = "model",
+    approx: bool = False, recall_target: float = 0.95,
 ):
     """Top-k values and GLOBAL column indices of ``scores`` [B, I] whose
     columns are (to be) sharded over ``axis``.  Returns (values, indices)
-    replicated along ``axis``."""
+    replicated along ``axis``.
+
+    ``approx=True`` ranks each shard with ``lax.approx_max_k`` (the
+    TPU-native bandwidth-bound MIPS primitive — 41x over exact at 1M-wide
+    rows, PARITY.md serving section) before the exact O(m*k) merge."""
     m = mesh.shape.get(axis, 1)
     if m <= 1:
+        if approx:
+            return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
         return jax.lax.top_k(scores, k)
 
     n_cols = scores.shape[1]
     shard = n_cols // m
 
     def local(s):
-        v, i = jax.lax.top_k(s, k)
+        if approx:
+            v, i = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+        else:
+            v, i = jax.lax.top_k(s, k)
         i = i + jax.lax.axis_index(axis) * shard
         return v, i
 

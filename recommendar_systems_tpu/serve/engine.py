@@ -67,6 +67,7 @@ class ServingEngine:
         self.n_users = int(meta["n_users"])
         self.n_items = int(meta["n_items"])
         self.mode = meta.get("mode", "embedding")
+        self.score_transform = meta.get("score_transform")
         self.approx_recall_target = float(meta.get("approx_recall_target", 0.95))
         self._mesh = None
         self._fns: Dict = {}
@@ -143,7 +144,7 @@ class ServingEngine:
                self.item_q is not None)
         if key not in self._fns:
             if self._mesh is not None:
-                jfn = self._build_sharded_topk(k, exclude)
+                jfn = self._build_sharded_topk(k, exclude, approx)
             else:
                 n_items = self.n_items
                 mask_topk, scores_of = self._mask_topk, self._scores
@@ -216,7 +217,15 @@ class ServingEngine:
         B = _pow2_bucket(len(ids))
         pad = np.pad(ids, (0, B - len(ids)), constant_values=ids[-1] if len(ids) else 0)
         v, i = self._topk_fn(k, exclude_seen, B, approx)(jnp.asarray(pad))
-        return np.asarray(i)[: len(ids)], np.asarray(v)[: len(ids)]
+        return (np.asarray(i)[: len(ids)],
+                self._transform(np.asarray(v)[: len(ids)]))
+
+    def _transform(self, scores: np.ndarray) -> np.ndarray:
+        """Re-apply the model's rank-preserving score transform (recorded
+        at export, e.g. SLMRec's sigmoid) to the k returned scores."""
+        if self.score_transform == "sigmoid":
+            return 1.0 / (1.0 + np.exp(-scores))
+        return scores
 
     def score(self, user_ids: Sequence[int], item_ids: Sequence[int]) -> np.ndarray:
         """Pairwise scores (the reference's ``predict`` contract)."""
@@ -226,7 +235,9 @@ class ServingEngine:
         it = np.asarray(item_ids, dtype=np.int32)
         ie = (self.item_emb if self.item_emb is not None
               else self.item_q.astype(jnp.float32) * self.item_scale[:, None])
-        return np.asarray(jnp.sum(self.user_emb[u] * ie[jnp.asarray(it)], axis=-1))
+        return self._transform(
+            np.asarray(jnp.sum(self.user_emb[u] * ie[jnp.asarray(it)], axis=-1))
+        )
 
     # ------------------------------------------------------------- cold start
     def fold_in(self, histories: Sequence[Sequence[int]]) -> np.ndarray:
@@ -260,7 +271,7 @@ class ServingEngine:
             return mask_topk(scores_of(ue_rows, *ops), rows_j, k)
 
         v, i = jax.jit(impl)(ue, jnp.asarray(rows), *self._item_operands())
-        return np.asarray(i), np.asarray(v)
+        return np.asarray(i), self._transform(np.asarray(v))
 
     # ---------------------------------------------------------------- sharded
     def shard_items(self, mesh) -> None:
@@ -272,7 +283,7 @@ class ServingEngine:
         self._mesh = mesh
         self._fns.clear()
 
-    def _build_sharded_topk(self, k: int, exclude: bool):
+    def _build_sharded_topk(self, k: int, exclude: bool, approx: bool = False):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from recommendar_systems_tpu.ops.topk import distributed_topk
@@ -281,9 +292,36 @@ class ServingEngine:
         m = mesh.shape.get("model", 1)
         n_items = self.n_items
         scores_of = self._scores
+        recall_target = self.approx_recall_target
+        slack = self.seen.shape[1] if exclude else 0
+        # per-shard candidate count must fit the shard width; degrade to the
+        # exact masked formulation when it cannot
+        shard_w = (n_items + ((-n_items) % m)) // m
+        use_approx = approx and (k + slack) <= shard_w
 
         def impl(ue, seen, users, *ops):
             scores = scores_of(ue[users], *ops)
+            pad = (-n_items) % m
+            if use_approx:
+                # sharded MIPS: per-shard approx_max_k(k+maxp) over the RAW
+                # scores, O(m*(k+maxp)) merge, then seen-exclusion by
+                # membership on the merged candidate set (same postfilter
+                # guarantee as the single-device approx path)
+                s = scores.astype(jnp.bfloat16)
+                if pad:
+                    s = jnp.pad(s, ((0, 0), (0, pad)),
+                                constant_values=jnp.finfo(s.dtype).min)
+                s = jax.lax.with_sharding_constraint(
+                    s, NamedSharding(mesh, P(None, "model")))
+                v, i = distributed_topk(s, k + slack, mesh, approx=True,
+                                        recall_target=recall_target)
+                v = v.astype(jnp.float32)
+                if exclude:
+                    rows = seen[users]
+                    hit = (i[:, :, None] == rows[:, None, :]).any(-1)
+                    v = jnp.where(hit, NEG, v)
+                vv, pos = jax.lax.top_k(v, k)
+                return vv, jnp.take_along_axis(i, pos, axis=1)
             rows = (seen[users] if exclude
                     else jnp.full((users.shape[0], 1), n_items,
                                   dtype=jnp.int32))
@@ -293,7 +331,6 @@ class ServingEngine:
             b = jnp.arange(B)[:, None]
             ext = ext.at[b, rows].set(NEG)
             scores = ext[:, :-1]
-            pad = (-n_items) % m
             if pad:
                 scores = jnp.pad(scores, ((0, 0), (0, pad)),
                                  constant_values=jnp.finfo(scores.dtype).min)

@@ -8,14 +8,16 @@ requested) an int8-quantized item table for memory-bound catalogs.
 Two export modes mirror the engine's two scoring contracts
 (`models/base.py`):
 
-- **embedding mode** (25/27 models, ``has_eval_embeddings=True``): one
-  full-graph propagation produces ``(user_emb, item_emb)`` with
-  ``scores = ue[u] @ ie.T`` — identical to the ranking the trainer's
-  evaluator used, so serving results match offline eval exactly.
-- **topk-table mode** (SLMRec's sigmoid scoring, ItemKNNCBF's non-parametric
-  R@S): the full catalog is scored once at export time through the model's
-  own ``full_scores`` and the seen-excluded top-K list per user is stored.
-  Serving then is a table lookup; ``fallback_topk`` bounds K.
+- **embedding mode** (26/27 models): one full-graph propagation produces
+  ``(user_emb, item_emb)`` with ``scores = ue[u] @ ie.T`` — identical to
+  the ranking the trainer's evaluator used, so serving results match
+  offline eval exactly.  25 models expose this via ``has_eval_embeddings``;
+  SLMRec serves through ``serving_embeddings`` + a recorded rank-preserving
+  ``score_transform`` (its sigmoid), re-applied to the k returned scores.
+- **topk-table mode** (ItemKNNCBF's non-parametric R@S): the full catalog
+  is scored once at export time through the model's own ``full_scores``
+  and the seen-excluded top-K list per user is stored.  Serving then is a
+  table lookup; ``fallback_topk`` bounds K.
 
 The reference has no counterpart for any of this (its only persisted
 inference artifact is the top-k CSV dump, `topk_evaluator.py:74-87`).
@@ -86,8 +88,26 @@ def export_artifact(
         "quantized_int8": bool(quantize_int8),
     }
 
+    emb_method = None
     if getattr(model_cls, "has_eval_embeddings", False):
-        ue, ie = trainer._eval_embeddings_jit(params, net_state, trainer.ctx)
+        emb_method = "eval_embeddings"
+    elif hasattr(model_cls, "serving_embeddings"):
+        # rank-preserving transforms (e.g. SLMRec's sigmoid) serve from the
+        # raw factors; the engine re-applies the transform to the k
+        # returned scores only
+        emb_method = "serving_embeddings"
+        meta["score_transform"] = getattr(
+            model_cls, "serving_score_transform", None
+        )
+
+    if emb_method is not None:
+        def emb_fn(p, s, c):
+            variables = {"params": p}
+            if trainer.has_net_state:
+                variables["state"] = s
+            return trainer.model.apply(variables, c, method=emb_method)
+
+        ue, ie = jax.jit(emb_fn)(params, net_state, trainer.ctx)
         ue = np.asarray(ue, dtype=np.float32)
         ie = np.asarray(ie, dtype=np.float32)
         arrays["user_emb"] = ue

@@ -270,6 +270,64 @@ def test_serve_cli(fitted, artifact):
     assert len(out["results"][0]["items"]) == 5
 
 
+def test_slmrec_sigmoid_serving(ds, tmp_path):
+    """SLMRec serves in embedding mode: sigmoid is strictly monotone, so
+    the raw-factor ranking equals full_scores' ranking; the recorded
+    transform is re-applied to the k returned scores."""
+    cfg = make_config("SLMRec", epochs=2)
+    for ax in cfg["hyper_parameters"]:
+        if isinstance(cfg[ax], list) and cfg[ax]:
+            cfg[ax] = cfg[ax][0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("SLMRec")
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    trainer = Trainer(cfg, model, ctx, data)
+    trainer.init_state(1)
+    trainer.fit(saved=False, verbose=False)
+
+    out = tmp_path / "slmrec"
+    export_artifact(trainer, str(out))
+    eng = ServingEngine.load(str(out))
+    assert eng.mode == "embedding" and eng.score_transform == "sigmoid"
+
+    users = np.asarray([0, 3, 9], dtype=np.int32)
+    items, scores = eng.topk(users, k=10, exclude_seen=False)
+    # oracle through the model's own full_scores (sigmoid applied)
+    variables = {"params": trainer.params}
+    if trainer.has_net_state:
+        variables["state"] = trainer.net_state
+    oracle = np.asarray(trainer.model.apply(
+        variables, trainer.ctx, jnp.asarray(users), method="full_scores"))
+    o_idx = np.argsort(-oracle, axis=1, kind="stable")[:, :10]
+    assert (items == o_idx).mean() > 0.9  # ties only
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(oracle, items, axis=1), rtol=1e-4,
+        atol=1e-5)
+    assert (scores <= 1.0).all() and (scores >= 0.0).all()
+
+
+def test_sharded_approx_serving(fitted, artifact):
+    from recommendar_systems_tpu.parallel.mesh import make_mesh
+
+    eng = ServingEngine.load(artifact)
+    users = np.arange(0, 64, dtype=np.int32)
+    base_i, _ = eng.topk(users, k=10)
+
+    eng_s = ServingEngine.load(artifact)
+    eng_s.shard_items(make_mesh([1, 8]))
+    sh_i, sh_v = eng_s.topk(users, k=10, approx=True)
+    overlap = np.mean([
+        len(np.intersect1d(sh_i[r], base_i[r])) / 10 for r in range(len(users))
+    ])
+    assert overlap > 0.8, overlap
+    # exclusion still holds through the candidate postfilter
+    _, data = fitted
+    seen = _seen_lists(data)
+    for r, u in enumerate(users):
+        assert not np.intersect1d(sh_i[r], seen[u]).size
+
+
 def test_sharded_serving_equivalence(fitted, artifact):
     from recommendar_systems_tpu.parallel.mesh import make_mesh
 
