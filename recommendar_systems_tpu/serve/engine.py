@@ -214,6 +214,7 @@ class ServingEngine:
         if self.mode == "topk_table":
             kk = min(k, self.topk_items.shape[1])
             return self.topk_items[ids, :kk], self.topk_scores[ids, :kk]
+        k = min(k, self.n_items)
         B = _pow2_bucket(len(ids))
         pad = np.pad(ids, (0, B - len(ids)), constant_values=ids[-1] if len(ids) else 0)
         v, i = self._topk_fn(k, exclude_seen, B, approx)(jnp.asarray(pad))
@@ -273,6 +274,62 @@ class ServingEngine:
         v, i = jax.jit(impl)(ue, jnp.asarray(rows), *self._item_operands())
         return np.asarray(i), self._transform(np.asarray(v))
 
+    # ---------------------------------------------------------- online updates
+    def add_interactions(self, user_id: int, item_ids: Sequence[int],
+                         refresh_embedding: bool = True,
+                         alpha: Optional[float] = None) -> None:
+        """Online update for a known user: record new interactions (future
+        ``topk`` excludes them) and optionally drift the user's embedding
+        toward the new items — the serving-time analog of the fold-in, with
+        blend weight ``alpha`` defaulting to n_new / (n_seen + n_new).
+        A heuristic between retrains, not a substitute for one."""
+        if self.mode != "embedding":
+            raise NotImplementedError("online updates need embedding mode")
+        u = int(user_id)
+        new = np.unique(np.asarray(item_ids, dtype=np.int32))
+        old = self.seen[u][self.seen[u] < self.n_items]
+        merged = np.union1d(old, new)
+        self._set_seen_row(u, merged)
+        if refresh_embedding and len(new):
+            ie = (np.asarray(self.item_emb) if self.item_emb is not None
+                  else np.asarray(self.item_q, dtype=np.float32)
+                  * np.asarray(self.item_scale)[:, None])
+            drift = ie[new].mean(axis=0)
+            a = (len(new) / (len(old) + len(new))) if alpha is None else alpha
+            cur = np.asarray(self.user_emb[u])
+            upd = (1.0 - a) * cur + a * drift
+            self.user_emb = self.user_emb.at[u].set(jnp.asarray(upd))
+
+    def add_user(self, history: Sequence[int]) -> int:
+        """Register a NEW user from their history (fold-in embedding +
+        seen set); returns the new user id.  Future ``topk([uid])`` serves
+        them like any trained user."""
+        if self.mode != "embedding":
+            raise NotImplementedError("online updates need embedding mode")
+        emb = jnp.asarray(self.fold_in([list(history)])[0])
+        self.user_emb = jnp.concatenate([self.user_emb, emb[None, :]], axis=0)
+        uid = self.n_users
+        self.n_users += 1
+        self.seen = np.concatenate(
+            [self.seen, np.full((1, self.seen.shape[1]), self.n_items,
+                                dtype=np.int32)], axis=0)
+        self._seen_j = jnp.asarray(self.seen)
+        self._set_seen_row(uid, np.unique(np.asarray(history, dtype=np.int32)))
+        return uid
+
+    def _set_seen_row(self, u: int, items: np.ndarray) -> None:
+        """Write a user's seen list, widening the padded matrix if needed
+        (jax.jit re-traces per shape, so widening is transparent)."""
+        maxp = self.seen.shape[1]
+        if len(items) > maxp:
+            wide = np.full((self.seen.shape[0], len(items)), self.n_items,
+                           dtype=np.int32)
+            wide[:, :maxp] = self.seen
+            self.seen = wide
+        self.seen[u, :] = self.n_items
+        self.seen[u, : len(items)] = items
+        self._seen_j = jnp.asarray(self.seen)
+
     # ---------------------------------------------------------------- sharded
     def shard_items(self, mesh) -> None:
         """Lay the item table out over ``mesh``'s 'model' axis and rank via
@@ -293,13 +350,15 @@ class ServingEngine:
         n_items = self.n_items
         scores_of = self._scores
         recall_target = self.approx_recall_target
-        slack = self.seen.shape[1] if exclude else 0
-        # per-shard candidate count must fit the shard width; degrade to the
-        # exact masked formulation when it cannot
         shard_w = (n_items + ((-n_items) % m)) // m
-        use_approx = approx and (k + slack) <= shard_w
 
         def impl(ue, seen, users, *ops):
+            # shapes are static per trace: widening the seen matrix
+            # re-traces and re-derives the candidate budget
+            slack = seen.shape[1] if exclude else 0
+            # per-shard candidate count must fit the shard width; degrade
+            # to the exact masked formulation when it cannot
+            use_approx = approx and (k + slack) <= shard_w
             scores = scores_of(ue[users], *ops)
             pad = (-n_items) % m
             if use_approx:

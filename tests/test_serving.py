@@ -270,6 +270,50 @@ def test_serve_cli(fitted, artifact):
     assert len(out["results"][0]["items"]) == 5
 
 
+def test_online_add_interactions(fitted, artifact):
+    """Recording new interactions excludes them from future top-k and
+    drifts the user embedding toward the added items."""
+    _, data = fitted
+    eng = ServingEngine.load(artifact)
+    u = 17
+    cand, _ = eng.topk([u], k=5)  # unseen, highly-ranked items
+    new_items = cand[0][:3]
+    before = eng.score([u] * 3, new_items).mean()
+    eng.add_interactions(u, new_items, alpha=0.5)
+    after = eng.score([u] * 3, new_items).mean()
+    assert after > before  # blended toward the added items' mean
+    items, _ = eng.topk([u], k=20)
+    assert not np.intersect1d(items[0], new_items).size
+
+
+def test_online_add_interactions_widens_seen(fitted, artifact):
+    _, data = fitted
+    eng = ServingEngine.load(artifact)
+    maxp = eng.seen.shape[1]
+    u = 3
+    many = np.arange(0, maxp + 10, dtype=np.int32)  # force widening
+    eng.add_interactions(u, many, refresh_embedding=False)
+    assert eng.seen.shape[1] >= maxp + 5
+    items, _ = eng.topk([u], k=10)
+    assert not np.intersect1d(items[0], many).size
+    # other users unaffected
+    items2, _ = eng.topk([5], k=10)
+    assert items2.shape == (1, 10)
+
+
+def test_online_add_user(fitted, artifact):
+    eng = ServingEngine.load(artifact)
+    n0 = eng.n_users
+    hist = [3, 17, 42, 99]
+    uid = eng.add_user(hist)
+    assert uid == n0 and eng.n_users == n0 + 1
+    items, _ = eng.topk([uid], k=10)
+    ref_items, _ = eng.topk_for_history([hist], k=10)
+    overlap = len(np.intersect1d(items[0], ref_items[0])) / 10
+    assert overlap > 0.9  # same fold-in embedding, same exclusion
+    assert not np.intersect1d(items[0], hist).size
+
+
 def test_slmrec_sigmoid_serving(ds, tmp_path):
     """SLMRec serves in embedding mode: sigmoid is strictly monotone, so
     the raw-factor ranking equals full_scores' ranking; the recorded
