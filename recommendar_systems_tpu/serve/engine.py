@@ -99,6 +99,15 @@ class ServingEngine:
     def load(cls, path: str) -> "ServingEngine":
         with open(os.path.join(path, META_FILE)) as f:
             meta = json.load(f)
+        ver = int(meta.get("format_version", 0))
+        from recommendar_systems_tpu.serve.export import FORMAT_VERSION
+
+        if ver > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact at {path} has format_version {ver} but this "
+                f"engine supports <= {FORMAT_VERSION}; upgrade the serving "
+                "runtime or re-export"
+            )
         with np.load(os.path.join(path, ARTIFACT_FILE)) as z:
             arrays = {k: z[k] for k in z.files}
         return cls(meta, arrays)

@@ -270,6 +270,36 @@ def test_serve_cli(fitted, artifact):
     assert len(out["results"][0]["items"]) == 5
 
 
+def test_engine_matches_offline_eval_topk(fitted, artifact):
+    """End-to-end closure: the engine's ranking equals the trainer's own
+    offline-eval top-k (same masking semantics, same scoring state)."""
+    trainer, data = fitted
+    eng = ServingEngine.load(artifact)
+    bundle = data.valid_eval
+    topk = np.asarray(trainer._eval_cached_jit(
+        trainer.params, trainer.net_state, trainer.ctx,
+        bundle.users, bundle.mask_rows, bundle.mask_items,
+    ))  # [n_batches, B, max_k]
+    users0 = np.asarray(bundle.users[0])[: bundle.n_valid[0]]
+    eval_topk = topk[0, : bundle.n_valid[0]]
+    k = eval_topk.shape[1]
+    served, _ = eng.topk(users0, k=k)
+    assert (served == eval_topk).mean() > 0.95  # ties only
+
+
+def test_format_version_guard(artifact, tmp_path):
+    import json as _json
+    import shutil
+
+    bad = tmp_path / "future"
+    shutil.copytree(artifact, bad)
+    meta = _json.load(open(bad / "meta.json"))
+    meta["format_version"] = 999
+    _json.dump(meta, open(bad / "meta.json", "w"))
+    with pytest.raises(ValueError, match="format_version"):
+        ServingEngine.load(str(bad))
+
+
 def test_online_add_interactions(fitted, artifact):
     """Recording new interactions excludes them from future top-k and
     drifts the user embedding toward the added items."""
