@@ -300,10 +300,13 @@ class ServingEngine:
         merged = np.union1d(old, new)
         self._set_seen_row(u, merged)
         if refresh_embedding and len(new):
-            ie = (np.asarray(self.item_emb) if self.item_emb is not None
-                  else np.asarray(self.item_q, dtype=np.float32)
-                  * np.asarray(self.item_scale)[:, None])
-            drift = ie[new].mean(axis=0)
+            if self.item_emb is not None:
+                rows_e = np.asarray(self.item_emb[jnp.asarray(new)])
+            else:  # dequantize only the touched rows, not the whole table
+                rows_e = (np.asarray(self.item_q[jnp.asarray(new)],
+                                     dtype=np.float32)
+                          * np.asarray(self.item_scale)[new][:, None])
+            drift = rows_e.mean(axis=0)
             a = (len(new) / (len(old) + len(new))) if alpha is None else alpha
             cur = np.asarray(self.user_emb[u])
             upd = (1.0 - a) * cur + a * drift
