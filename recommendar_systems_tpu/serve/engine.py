@@ -221,7 +221,25 @@ class ServingEngine:
         """
         ids = np.asarray(user_ids, dtype=np.int32)
         if self.mode == "topk_table":
-            kk = min(k, self.topk_items.shape[1])
+            # the stored table is seen-excluded and exact by construction;
+            # semantics the table cannot express fail loudly instead of
+            # silently returning embedding-mode-divergent results
+            if not exclude_seen:
+                raise NotImplementedError(
+                    "topk_table artifacts store seen-excluded lists only; "
+                    "exclude_seen=False needs an embedding-mode export")
+            if approx:
+                raise NotImplementedError(
+                    "approx ranking needs embedding mode (topk_table lookups "
+                    "are already O(k))")
+            stored = self.topk_items.shape[1]
+            if k > stored:
+                import warnings
+
+                warnings.warn(
+                    f"k={k} exceeds the stored fallback_topk={stored}; "
+                    f"returning {stored} items per user", stacklevel=2)
+            kk = min(k, stored)
             return self.topk_items[ids, :kk], self.topk_scores[ids, :kk]
         k = min(k, self.n_items)
         B = _pow2_bucket(len(ids))
@@ -237,51 +255,92 @@ class ServingEngine:
             return 1.0 / (1.0 + np.exp(-scores))
         return scores
 
+    @staticmethod
+    def _gather_item_rows(idx: jnp.ndarray, *ops) -> jnp.ndarray:
+        """Dequantized item rows for ``idx`` — gathers (and dequantizes)
+        ONLY the touched rows, never the full table (~256 MB at 1M×64;
+        advisor round-4 finding)."""
+        if len(ops) == 2:
+            iq, iscale = ops
+            return iq[idx].astype(jnp.float32) * iscale[idx][..., None]
+        return ops[0][idx]
+
     def score(self, user_ids: Sequence[int], item_ids: Sequence[int]) -> np.ndarray:
         """Pairwise scores (the reference's ``predict`` contract)."""
         if self.mode != "embedding":
             raise NotImplementedError("pairwise scoring needs embedding mode")
         u = jnp.asarray(np.asarray(user_ids, dtype=np.int32))
-        it = np.asarray(item_ids, dtype=np.int32)
-        ie = (self.item_emb if self.item_emb is not None
-              else self.item_q.astype(jnp.float32) * self.item_scale[:, None])
+        it = jnp.asarray(np.asarray(item_ids, dtype=np.int32))
+        ie_rows = self._gather_item_rows(it, *self._item_operands())
         return self._transform(
-            np.asarray(jnp.sum(self.user_emb[u] * ie[jnp.asarray(it)], axis=-1))
+            np.asarray(jnp.sum(self.user_emb[u] * ie_rows, axis=-1))
         )
 
     # ------------------------------------------------------------- cold start
+    def _hist_matrix(self, histories: Sequence[Sequence[int]],
+                     pad_b: bool = False) -> np.ndarray:
+        """[B, L] padded history matrix (pad value = n_items), with L (and
+        optionally B) rounded up to pow2 buckets so arrival shapes reuse
+        cached executables instead of retracing per request."""
+        L = _pow2_bucket(max(max((len(h) for h in histories), default=1), 1),
+                         lo=4)
+        B = _pow2_bucket(len(histories)) if pad_b else max(len(histories), 1)
+        hist = np.full((B, L), self.n_items, dtype=np.int32)
+        for r, h in enumerate(histories):
+            hist[r, : len(h)] = np.asarray(h, dtype=np.int32)
+        return hist
+
     def fold_in(self, histories: Sequence[Sequence[int]]) -> np.ndarray:
         """[B, d] embeddings for unseen users from their item histories."""
         if self.mode != "embedding":
             raise NotImplementedError("fold-in needs embedding mode")
-        L = max(max((len(h) for h in histories), default=1), 1)
-        hist = np.full((len(histories), L), self.n_items, dtype=np.int32)
-        for r, h in enumerate(histories):
-            hist[r, : len(h)] = np.asarray(h, dtype=np.int32)
-        ie = (self.item_emb if self.item_emb is not None
-              else self.item_q.astype(jnp.float32) * self.item_scale[:, None])
-        ext = jnp.concatenate([ie, jnp.zeros((1, ie.shape[1]), ie.dtype)], axis=0)
-        emb = ext[jnp.asarray(hist)]  # [B, L, d]; pads are zero rows
-        cnt = jnp.asarray((hist < self.n_items).sum(axis=1, keepdims=True),
-                          dtype=jnp.float32)
-        return np.asarray(emb.sum(axis=1) / jnp.maximum(cnt, 1.0))
+        hist = self._hist_matrix(histories)
+        key = ("fold", hist.shape, self.item_q is not None)
+        if key not in self._fns:
+            n_items = self.n_items
+            gather = self._gather_item_rows
+
+            def impl(hist_j, *ops):
+                valid = hist_j < n_items
+                rows = gather(jnp.where(valid, hist_j, 0), *ops)
+                rows = jnp.where(valid[..., None], rows, 0.0)
+                cnt = valid.sum(axis=1, keepdims=True).astype(jnp.float32)
+                return rows.sum(axis=1) / jnp.maximum(cnt, 1.0)
+
+            self._fns[key] = jax.jit(impl)
+        out = self._fns[key](jnp.asarray(hist), *self._item_operands())
+        return np.asarray(out)[: len(histories)]
 
     def topk_for_history(self, histories: Sequence[Sequence[int]], k: int = 20
                          ) -> Tuple[np.ndarray, np.ndarray]:
-        """Cold-start top-k: fold-in embedding, history excluded."""
-        ue = jnp.asarray(self.fold_in(histories))
-        L = max(max((len(h) for h in histories), default=1), 1)
-        rows = np.full((len(histories), L), self.n_items, dtype=np.int32)
-        for r, h in enumerate(histories):
-            rows[r, : len(h)] = np.asarray(h, dtype=np.int32)
+        """Cold-start top-k: fold-in embedding, history excluded.
 
-        mask_topk, scores_of = self._mask_topk, self._scores
+        ONE cached dispatch per (k, L, B) bucket — fold-in gather, scoring
+        matmul, history mask and top-k fuse into a single executable, so a
+        cold-start request costs the same as a warm ``topk`` instead of a
+        fresh retrace per call (advisor round-4 medium finding)."""
+        if self.mode != "embedding":
+            raise NotImplementedError("cold-start serving needs embedding mode")
+        hist = self._hist_matrix(histories, pad_b=True)
+        key = ("hist_topk", k, hist.shape, self.item_q is not None)
+        if key not in self._fns:
+            n_items = self.n_items
+            gather = self._gather_item_rows
+            mask_topk, scores_of = self._mask_topk, self._scores
 
-        def impl(ue_rows, rows_j, *ops):
-            return mask_topk(scores_of(ue_rows, *ops), rows_j, k)
+            def impl(hist_j, *ops):
+                valid = hist_j < n_items
+                rows = gather(jnp.where(valid, hist_j, 0), *ops)
+                rows = jnp.where(valid[..., None], rows, 0.0)
+                cnt = valid.sum(axis=1, keepdims=True).astype(jnp.float32)
+                ue_rows = rows.sum(axis=1) / jnp.maximum(cnt, 1.0)
+                return mask_topk(scores_of(ue_rows, *ops), hist_j, k)
 
-        v, i = jax.jit(impl)(ue, jnp.asarray(rows), *self._item_operands())
-        return np.asarray(i), self._transform(np.asarray(v))
+            self._fns[key] = jax.jit(impl)
+        v, i = self._fns[key](jnp.asarray(hist), *self._item_operands())
+        n = len(histories)
+        return (np.asarray(i)[:n],
+                self._transform(np.asarray(v)[:n]))
 
     # ---------------------------------------------------------- online updates
     def add_interactions(self, user_id: int, item_ids: Sequence[int],
@@ -346,11 +405,26 @@ class ServingEngine:
     def shard_items(self, mesh) -> None:
         """Lay the item table out over ``mesh``'s 'model' axis and rank via
         the two-stage distributed top-k — the serving counterpart of the
-        sharded offline eval (SURVEY.md §2.3 'sharded full-catalog eval')."""
+        sharded offline eval (SURVEY.md §2.3 'sharded full-catalog eval').
+
+        The item operands are ``device_put`` with an explicit row
+        ``NamedSharding`` so a catalog wider than one chip's HBM is placed
+        shard-by-shard at transfer time — placement is guaranteed, not
+        inferred backward from the scores constraint (advisor round-4
+        finding)."""
         if self.mode != "embedding":
             raise NotImplementedError("sharded serving needs embedding mode")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         self._mesh = mesh
         self._fns.clear()
+        rows = NamedSharding(mesh, P("model", None))
+        if self.item_q is not None:
+            self.item_q = jax.device_put(self.item_q, rows)
+            self.item_scale = jax.device_put(
+                self.item_scale, NamedSharding(mesh, P("model")))
+        else:
+            self.item_emb = jax.device_put(self.item_emb, rows)
 
     def _build_sharded_topk(self, k: int, exclude: bool, approx: bool = False):
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -58,6 +58,7 @@ def export_artifact(
     out_dir: str,
     quantize_int8: bool = False,
     fallback_topk: int = 200,
+    keep_fp32: bool = False,
 ) -> str:
     """Snapshot ``trainer``'s fitted model into ``out_dir``.
 
@@ -111,11 +112,19 @@ def export_artifact(
         ue = np.asarray(ue, dtype=np.float32)
         ie = np.asarray(ie, dtype=np.float32)
         arrays["user_emb"] = ue
-        arrays["item_emb"] = ie
         if quantize_int8:
             q, s = quantize_item_table(ie)
             arrays["item_q"] = q
             arrays["item_scale"] = s
+            # the engine serves entirely from the quantized table (scoring,
+            # fold-in and pairwise all gather+dequantize rows); keeping the
+            # f32 table too would make the artifact's dominant array dead
+            # weight (~5x the needed item bytes at catalog scale — advisor
+            # round-4 finding). keep_fp32 opts back in for offline analysis.
+            if keep_fp32:
+                arrays["item_emb"] = ie
+        else:
+            arrays["item_emb"] = ie
         meta["mode"] = "embedding"
         meta["dim"] = int(ie.shape[1])
     else:

@@ -206,6 +206,80 @@ def test_topk_table_mode(ds, tmp_path):
     assert (np.diff(scores, axis=1) <= 1e-6).all()
 
 
+def test_topk_table_loud_semantics(ds, tmp_path):
+    """topk_table artifacts cannot express include-seen or approx ranking;
+    they must fail loudly instead of silently diverging from embedding-mode
+    semantics, and warn when k exceeds the stored width."""
+    cfg = make_config("ItemKNNCBF", epochs=1)
+    for ax in cfg["hyper_parameters"]:
+        if isinstance(cfg[ax], list) and cfg[ax]:
+            cfg[ax] = cfg[ax][0]
+    data = build_data_bundle(ds, cfg)
+    cls = get_model("ItemKNNCBF")
+    model = cls.from_config(cfg, data)
+    ctx = cls.build_ctx(cfg, data)
+    trainer = Trainer(cfg, model, ctx, data)
+    trainer.init_state(1)
+    trainer.fit(saved=False, verbose=False)
+    out = tmp_path / "knn2"
+    export_artifact(trainer, str(out), fallback_topk=15)
+    eng = ServingEngine.load(str(out))
+    with pytest.raises(NotImplementedError, match="exclude_seen"):
+        eng.topk([0], k=5, exclude_seen=False)
+    with pytest.raises(NotImplementedError, match="approx"):
+        eng.topk([0], k=5, approx=True)
+    with pytest.warns(UserWarning, match="fallback_topk"):
+        items, _ = eng.topk([0], k=50)
+    assert items.shape == (1, 15)
+
+
+def test_quantized_artifact_drops_fp32_table(fitted, tmp_path):
+    """quantize_int8 exports serve entirely from the int8 table; the f32
+    item table is omitted unless keep_fp32 re-opts in."""
+    trainer, data = fitted
+    out = tmp_path / "qlean"
+    export_artifact(trainer, str(out), quantize_int8=True)
+    z = np.load(str(out / "embeddings.npz"))
+    assert "item_emb" not in z.files and "item_q" in z.files
+    eng = ServingEngine.load(str(out))
+    # every embedding-mode surface works from the quantized table alone
+    s = eng.score([3, 5], [10, 11])
+    assert np.isfinite(s).all()
+    emb = eng.fold_in([[1, 2, 3]])
+    assert emb.shape == (1, eng.dim) and np.isfinite(emb).all()
+    items, _ = eng.topk_for_history([[1, 2, 3]], k=5)
+    assert items.shape == (1, 5)
+    uid = eng.add_user([4, 7, 9])
+    items2, _ = eng.topk([uid], k=5)
+    assert items2.shape == (1, 5)
+
+    out_keep = tmp_path / "qkeep"
+    export_artifact(trainer, str(out_keep), quantize_int8=True, keep_fp32=True)
+    z2 = np.load(str(out_keep / "embeddings.npz"))
+    assert "item_emb" in z2.files
+
+    # quantized fold-in must agree with f32 fold-in up to rounding
+    out_f = tmp_path / "f32"
+    export_artifact(trainer, str(out_f))
+    eng_f = ServingEngine.load(str(out_f))
+    hist = [[1, 2, 3, 4], [9, 17]]
+    np.testing.assert_allclose(
+        eng.fold_in(hist), eng_f.fold_in(hist), rtol=0.05, atol=0.01)
+
+
+def test_cold_start_executable_cache(fitted, artifact):
+    """topk_for_history hits a cached executable per (k, L, B) bucket —
+    repeated arrivals with nearby shapes must not grow the cache
+    (advisor round-4 medium finding)."""
+    eng = ServingEngine.load(artifact)
+    eng.topk_for_history([[1, 2, 3]], k=10)
+    n0 = len(eng._fns)
+    # same bucket: L in (4] pad bucket, B in min bucket
+    eng.topk_for_history([[5, 6]], k=10)
+    eng.topk_for_history([[7], [8, 9, 10]], k=10)
+    assert len(eng._fns) == n0
+
+
 def test_approx_topk_close_to_exact(fitted, artifact):
     """`approx=True` (lax.approx_max_k wide-catalog path) must broadly agree
     with the exact ranking and keep the exclusion semantics."""
