@@ -104,6 +104,23 @@ class Trainer:
             }
         self.max_k = max(config["topk"]) if isinstance(config["topk"], list) else int(config["topk"])
 
+        # opt-in approx-MIPS offline eval: lax.approx_max_k over the RAW
+        # scores + seen-membership postfilter on the candidate set — the
+        # serving path's formulation (serve/engine.py, measured ~22x faster
+        # than exact masked top-k at [256, 1M] in tools/probe_serving_1m.py)
+        # applied to the trainer's evaluator. Default OFF: the exact path is
+        # the reference-parity semantics (trainer.py:519-527).
+        self.eval_approx = bool(config.get("eval_approx") or False)
+        self.eval_approx_recall = float(
+            cfg_scalar(config, "eval_approx_recall", 0.95))
+        # candidate slack per user defaults to the max train degree (exact
+        # exclusion guarantee: a user's seen items can displace at most
+        # max_pos_len candidates). A smaller cap trades that guarantee for
+        # speed on heavy-tailed catalogs: users with more than `slack` seen
+        # candidates may see a few train positives re-surface.
+        self.eval_approx_slack = config.get("eval_approx_slack")
+        self._eval_seen_cache = None
+
         # mirror-gradient setup
         self.mg = bool(mg)
         self.model_mg = bool(config.get("mg_enable", False))
@@ -189,6 +206,8 @@ class Trainer:
         # dispatch costs ~100-250 ms of host/tunnel latency vs ~22 ms of
         # device compute for a full eval pass (PARITY.md eval roofline)
         self._eval_cached_jit = jax.jit(self._eval_cached_impl)
+        self._eval_cached_approx_jit = jax.jit(self._eval_cached_approx_impl)
+        self._eval_scan_approx_jit = jax.jit(self._eval_scan_approx_impl)
         self._pre_epoch_jit = None
         if getattr(type(model), "has_pre_epoch", False):
             cfg_snapshot = dict(config.final_config) if hasattr(config, "final_config") else dict(config)
@@ -575,6 +594,85 @@ class Trainer:
         ue, ie = self._eval_embeddings_impl(params, net_state, ctx)
         return self._eval_scan_emb_impl(ue, ie, users, mask_rows, mask_items)
 
+    # ------------------------------------------------------ approx-MIPS eval
+    def _eval_seen(self) -> jnp.ndarray:
+        """[n_users, maxp] padded train-positive matrix (pad = n_items) for
+        the approx eval's membership postfilter; built once per trainer."""
+        if self._eval_seen_cache is None:
+            from recommendar_systems_tpu.serve.engine import _padded_seen
+
+            seen = _padded_seen(
+                np.asarray(self.data.pos_indptr),
+                np.asarray(self.data.pos_items),
+                self.data.n_users, self.data.n_items,
+            )
+            slack = self.eval_approx_slack
+            if slack:
+                seen = seen[:, : int(slack)]
+            self._eval_seen_cache = jnp.asarray(seen)
+        return self._eval_seen_cache
+
+    def _approx_topk(self, scores, users, seen):
+        """Seen-excluded top-k WITHOUT the full-width mask scatter or the
+        exact row-wide sort: ``approx_max_k(k + slack)`` over the raw bf16
+        scores, then exclusion by membership on the tiny candidate set
+        (a user's seen items displace at most ``slack`` candidates, so k
+        real recommendations survive). Same ranking contract as the exact
+        path (reference `/root/reference/src/common/trainer.py:519-527`) up
+        to the approx recall; measured ~22x faster at [256, 1M]
+        (tools/probe_serving_1m.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rows = seen[users]
+        kk = min(self.max_k + rows.shape[1], scores.shape[1])
+        mesh = self.mesh
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            scores = jax.lax.with_sharding_constraint(
+                scores, NamedSharding(mesh, P("data", None)))
+        m = mesh.shape.get("model", 1) if mesh is not None else 1
+        n_items = scores.shape[1]
+        pad = (-n_items) % m
+        if m > 1 and kk <= (n_items + pad) // m:
+            from recommendar_systems_tpu.ops.topk import distributed_topk
+
+            s = scores.astype(jnp.bfloat16)
+            if pad:
+                s = jnp.pad(s, ((0, 0), (0, pad)),
+                            constant_values=jnp.finfo(s.dtype).min)
+            s = jax.lax.with_sharding_constraint(
+                s, NamedSharding(mesh, P(None, "model")))
+            v, i = distributed_topk(s, kk, mesh, approx=True,
+                                    recall_target=self.eval_approx_recall)
+        else:
+            v, i = jax.lax.approx_max_k(
+                scores.astype(jnp.bfloat16), kk,
+                recall_target=self.eval_approx_recall)
+        v = v.astype(jnp.float32)
+        hit = (i[:, :, None] == rows[:, None, :]).any(-1)
+        v = jnp.where(hit, -1e10, v)
+        _, pos = jax.lax.top_k(v, self.max_k)
+        return jnp.take_along_axis(i, pos, axis=1)
+
+    def _eval_cached_approx_impl(self, params, net_state, ctx, users, seen):
+        ue, ie = self._eval_embeddings_impl(params, net_state, ctx)
+
+        def body(carry, u):
+            return carry, self._approx_topk(ue[u] @ ie.T, u, seen)
+
+        _, topk = jax.lax.scan(body, 0, users)
+        return topk
+
+    def _eval_scan_approx_impl(self, params, net_state, ctx, users, seen):
+        def body(carry, u):
+            variables = {"params": params}
+            if self.has_net_state:
+                variables["state"] = net_state
+            scores = self.model.apply(variables, ctx, u, method="full_scores")
+            return carry, self._approx_topk(scores, u, seen)
+
+        _, topk = jax.lax.scan(body, 0, users)
+        return topk
+
     # ----------------------------------------------------------------- train
     def fit(
         self,
@@ -811,7 +909,12 @@ class Trainer:
     # ------------------------------------------------------------------ eval
     def evaluate(self, bundle: EvalBundle, is_test: bool = False, idx: int = 0) -> Dict[str, float]:
         use_cached_emb = getattr(type(self.model), "has_eval_embeddings", False)
-        if use_cached_emb:
+        if self.eval_approx:
+            fn = (self._eval_cached_approx_jit if use_cached_emb
+                  else self._eval_scan_approx_jit)
+            topk = fn(self.params, self.net_state, self.ctx, bundle.users,
+                      self._eval_seen())
+        elif use_cached_emb:
             # one full-graph propagation per evaluation pass, reused by every
             # user batch (the reference recomputes it per batch), fused with
             # the scanned score/mask/top-k into a single dispatch
