@@ -55,6 +55,14 @@ def main() -> None:
         help="disable the fused one-pass bidirectional propagation kernel",
     )
     p.add_argument(
+        "--no-mg", action="store_true",
+        help="skip the Mirror-Gradient throughput measurement",
+    )
+    p.add_argument(
+        "--no-approx-eval", action="store_true",
+        help="skip the approx-MIPS eval-rate measurement",
+    )
+    p.add_argument(
         "--ui-mode", default=None, choices=["xla", "pallas"],
         help="u-i propagation kernel on factored int8 storage "
              "(default: the library default, currently 'xla')",
@@ -108,6 +116,8 @@ def main() -> None:
                "--inters", str(args.inters)] + (["--cpu"] if args.cpu else []) \
               + (["--bf16"] if args.bf16 else []) \
               + (["--no-fused"] if args.no_fused else []) \
+              + (["--no-mg"] if args.no_mg else []) \
+              + (["--no-approx-eval"] if args.no_approx_eval else []) \
               + (["--ui-mode", args.ui_mode] if args.ui_mode else []) \
               + (["--bit-adj", args.bit_adj] if args.bit_adj else []) \
               + (["--config"] + args.config if args.config else [])
@@ -270,6 +280,102 @@ def _run_one(args, model_name: str) -> None:
     eval_ups_min = total_users / max(times)
     eval_ups_max = total_users / min(times)
 
+    # DEVICE-side eval rate, separated from the per-dispatch host/tunnel
+    # latency that dominates the wall numbers (PARITY.md eval roofline;
+    # VERDICT r4 item 4): run R eval passes inside ONE dispatch, at two
+    # repetition counts, and difference out the constant dispatch cost.
+    # Each pass is rolled to distinct inputs so XLA cannot hoist the
+    # loop-invariant computation out of the scan.
+    import jax.numpy as jnp
+
+    eval_impl = (trainer._eval_cached_impl if use_cached
+                 else trainer._eval_scan_impl)
+
+    def _rep_eval(params, net_state, ctx, users, mask_rows, mask_items, xs):
+        def body(c, x):
+            t = eval_impl(
+                params, net_state, ctx, jnp.roll(users, x, axis=0),
+                jnp.roll(mask_rows, x, axis=0),
+                jnp.roll(mask_items, x, axis=0),
+            )
+            return c + t.sum(), None
+        out, _ = jax.lax.scan(body, jnp.int32(0), xs)
+        return out
+
+    eval_ups_device = None
+    try:
+        rep_jit = jax.jit(_rep_eval)
+        r1, r2 = 4, 36
+        dts = {}
+        for r in (r1, r2):
+            xs = jnp.arange(r, dtype=jnp.int32)
+            a = (trainer.params, trainer.net_state, trainer.ctx,
+                 ev.users, ev.mask_rows, ev.mask_items, xs)
+            int(np.asarray(rep_jit(*a)))  # compile + warm
+            t1 = time.time()
+            int(np.asarray(rep_jit(*a)))
+            dts[r] = time.time() - t1
+        per_pass = (dts[r2] - dts[r1]) / (r2 - r1)
+        eval_ups_device = total_users / max(per_pass, 1e-9)
+    except Exception as e:  # never let a diagnostics field kill the line
+        print(f"# bench: device eval rate failed: {e!r}", flush=True)
+
+    # approx-MIPS eval rate (eval_approx=true path — the serving
+    # formulation applied to the offline evaluator, VERDICT r4 item 1)
+    eval_ups_approx = None
+    eval_ups_approx_band = None
+    if not args.no_approx_eval:
+        try:
+            afn = (trainer._eval_cached_approx_jit if use_cached
+                   else trainer._eval_scan_approx_jit)
+            seen = trainer._eval_seen()
+
+            def approx_pass():
+                return afn(trainer.params, trainer.net_state, trainer.ctx,
+                           ev.users, seen)
+
+            np.asarray(approx_pass())  # compile + warm
+            atimes = []
+            for _ in range(max(1, args.eval_passes)):
+                t1 = time.time()
+                np.asarray(approx_pass())
+                atimes.append(time.time() - t1)
+            eval_ups_approx = total_users / statistics.median(atimes)
+            eval_ups_approx_band = [total_users / max(atimes),
+                                    total_users / min(atimes)]
+        except Exception as e:
+            print(f"# bench: approx eval rate failed: {e!r}", flush=True)
+
+    # Mirror-Gradient throughput (trainer-level flavor, reference
+    # trainer.py:207-224; VERDICT r4 item 3): same model/data, MG fused
+    # into the scanned step, measured against the plain rate above.
+    mg_eps = None
+    if not args.no_mg:
+        try:
+            mg_trainer = Trainer(cfg, model, ctx, data, mg=True)
+            mg_trainer.init_state(0)
+            kmg = jax.random.key(7)
+            kmg, k0 = jax.random.split(kmg)
+            out = mg_trainer._train_epoch_jit(
+                mg_trainer.params, mg_trainer.opt_state, mg_trainer.net_state,
+                mg_trainer.ctx, mg_trainer._data_arrays(), k0)
+            mg_trainer.params, mg_trainer.opt_state, mg_trainer.net_state = (
+                out[0], out[1], out[2])
+            float(np.asarray(out[3]).sum())  # warm-up done
+            tmg = time.time()
+            for _ in range(args.epochs):
+                kmg, ke = jax.random.split(kmg)
+                out = mg_trainer._train_epoch_jit(
+                    mg_trainer.params, mg_trainer.opt_state,
+                    mg_trainer.net_state, mg_trainer.ctx,
+                    mg_trainer._data_arrays(), ke)
+                mg_trainer.params, mg_trainer.opt_state, mg_trainer.net_state = (
+                    out[0], out[1], out[2])
+                float(np.asarray(out[3]).sum())
+            mg_eps = n_train * args.epochs / (time.time() - tmg)
+        except Exception as e:
+            print(f"# bench: MG measurement failed: {e!r}", flush=True)
+
     baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     if os.path.isfile(baseline_path):
@@ -292,6 +398,19 @@ def _run_one(args, model_name: str) -> None:
                     "eval_users_per_s_band": [
                         round(eval_ups_min, 1), round(eval_ups_max, 1)
                     ],
+                    "eval_users_per_s_device": (
+                        round(eval_ups_device, 1)
+                        if eval_ups_device else None),
+                    "eval_users_per_s_approx": (
+                        round(eval_ups_approx, 1)
+                        if eval_ups_approx else None),
+                    "eval_users_per_s_approx_band": (
+                        [round(x, 1) for x in eval_ups_approx_band]
+                        if eval_ups_approx_band else None),
+                    "mg_train_examples_per_s": (
+                        round(mg_eps, 1) if mg_eps else None),
+                    "mg_overhead_x": (
+                        round(train_eps / mg_eps, 2) if mg_eps else None),
                     "eval_passes": max(1, args.eval_passes),
                     "epoch_time_s": round(dt / args.epochs, 3),
                     "n_train": n_train,
