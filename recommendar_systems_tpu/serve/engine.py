@@ -390,16 +390,26 @@ class ServingEngine:
 
     def _set_seen_row(self, u: int, items: np.ndarray) -> None:
         """Write a user's seen list, widening the padded matrix if needed
-        (jax.jit re-traces per shape, so widening is transparent)."""
+        (jax.jit re-traces per shape, so widening is transparent).
+
+        The no-widening path updates ONE row of the device copy in place
+        (`.at[u].set`) instead of re-uploading the whole [U, maxp] matrix —
+        a sustained-update stream at catalog scale would otherwise push
+        ~U*maxp*4 bytes over the tunnel per interaction."""
         maxp = self.seen.shape[1]
-        if len(items) > maxp:
+        widen = len(items) > maxp
+        if widen:
             wide = np.full((self.seen.shape[0], len(items)), self.n_items,
                            dtype=np.int32)
             wide[:, :maxp] = self.seen
             self.seen = wide
         self.seen[u, :] = self.n_items
         self.seen[u, : len(items)] = items
-        self._seen_j = jnp.asarray(self.seen)
+        if widen:
+            self._seen_j = jnp.asarray(self.seen)
+        else:
+            self._seen_j = self._seen_j.at[u, :].set(
+                jnp.asarray(self.seen[u]))
 
     # ---------------------------------------------------------------- sharded
     def shard_items(self, mesh) -> None:

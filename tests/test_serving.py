@@ -418,6 +418,43 @@ def test_online_add_user(fitted, artifact):
     assert not np.intersect1d(items[0], hist).size
 
 
+def test_sustained_updates_quality_holds(fitted, artifact):
+    """A sustained online-update stream (hundreds of add_interactions +
+    fold-in add_user calls, including seen-matrix widening) must keep the
+    approx candidate path's overlap vs exact and the exclusion invariant
+    (VERDICT r4 item 9; campaign-scale version in
+    tools/probe_serving_updates.py)."""
+    _, data = fitted
+    eng = ServingEngine.load(artifact)
+    rng = np.random.default_rng(3)
+    users = np.arange(0, 100, dtype=np.int32)
+
+    for n in range(200):
+        u = int(rng.integers(0, eng.n_users))
+        new = rng.integers(0, eng.n_items, size=int(rng.integers(1, 6)))
+        eng.add_interactions(u, new)
+    new_ids = []
+    for _ in range(25):
+        s = int(rng.integers(0, data.n_users))
+        h = eng.seen[s][eng.seen[s] < eng.n_items].tolist()
+        new_ids.append(eng.add_user(h))
+
+    ex_i, _ = eng.topk(users, k=10)
+    ap_i, _ = eng.topk(users, k=10, approx=True)
+    overlap = np.mean([
+        len(np.intersect1d(ex_i[r], ap_i[r])) / 10 for r in range(len(users))
+    ])
+    assert overlap > 0.9, overlap
+    # exclusion invariant after the stream, incl. fold-in users
+    check = list(users[:20]) + new_ids[:10]
+    items, _ = eng.topk(np.asarray(check, dtype=np.int32), k=10)
+    for r, u in enumerate(check):
+        seen_u = eng.seen[u][eng.seen[u] < eng.n_items]
+        assert not np.intersect1d(items[r], seen_u).size
+    # host and device copies stayed in sync through row writes + widenings
+    np.testing.assert_array_equal(np.asarray(eng._seen_j), eng.seen)
+
+
 def test_slmrec_sigmoid_serving(ds, tmp_path):
     """SLMRec serves in embedding mode: sigmoid is strictly monotone, so
     the raw-factor ranking equals full_scores' ranking; the recorded
