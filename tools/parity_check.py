@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=999)
     ap.add_argument("--overrides", default="{}", help="JSON of scalar hyperparams")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--mg", action="store_true",
+                    help="trainer-level Mirror-Gradient on BOTH sides "
+                         "(reference trainer.py:207-224)")
     args = ap.parse_args()
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -94,7 +97,8 @@ def main() -> None:
 
     ours_cfg = dict(shared)
     ours_cfg["data_path"] = os.path.join(work, "data") + os.sep
-    ours = ours_qs(args.model, "baby", config_dict=ours_cfg, save_model=False)
+    ours = ours_qs(args.model, "baby", config_dict=ours_cfg, save_model=False,
+                   mg=args.mg)
     print("\n=== OURS ===")
     print("valid:", ours["best_valid_result"])
     print("test: ", ours["best_test_upon_valid"])
@@ -159,7 +163,7 @@ def main() -> None:
     logging.getLogger().addHandler(handler)
     logging.getLogger().setLevel(logging.INFO)
     ref_qs(model=args.model, dataset="baby", config_dict=ref_cfg,
-           save_model=False, mg=False)
+           save_model=False, mg=args.mg)
     print("\n=== REFERENCE loss curve ===")
     for line in captured:
         if "train loss" in line:

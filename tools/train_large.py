@@ -81,6 +81,27 @@ def main() -> None:
     print("BEST valid:", {k: round(v, 4) for k, v in best_valid.items()})
     print("BEST test :", {k: round(v, 4) for k, v in best_test.items()})
 
+    # exact vs approx-MIPS eval at this catalog width (VERDICT r4 item 1:
+    # rates AND metric deltas at large width; the approx path's win grows
+    # with catalog width — see PARITY.md eval section)
+    import numpy as np
+
+    ev = data.valid_eval
+    total_users = int(ev.n_valid.sum())
+    for label, approx in (("exact", False), ("approx", True)):
+        trainer.eval_approx = approx
+        res = trainer.evaluate(ev)  # compile + warm
+        times = []
+        for _ in range(3):
+            t1 = time.time()
+            trainer.evaluate(ev)
+            times.append(time.time() - t1)
+        rate = total_users / float(np.median(times))
+        print(f"EVAL[{label}]: {rate:,.0f} users/s  "
+              f"metrics={ {k: round(v, 4) for k, v in res.items()} }",
+              flush=True)
+    trainer.eval_approx = False
+
 
 if __name__ == "__main__":
     main()
