@@ -81,7 +81,20 @@ def main() -> None:
 
             shutil.copy(s, os.path.join(data_dir, dst))
 
-    overrides = json.loads(args.overrides)
+    # baseline scalarizations first (hyper_parameters is overridden to
+    # ["seed"], so every model-yaml sweep axis must arrive as a scalar),
+    # then the user's --overrides on top
+    from tools.measure_reference_baseline import MODEL_OVERRIDES
+
+    overrides = {**MODEL_OVERRIDES.get(args.model, {}),
+                 **json.loads(args.overrides)}
+    if args.mg:
+        # scalarize the mg.yaml sweep axes (reference src/configs/mg.yaml:
+        # alpha1 [1.0], alpha2 [0.1,0.2,0.3], beta [3]); alpha2=0.2 is the
+        # middle of the published sweep
+        overrides.setdefault("alpha1", 1.0)
+        overrides.setdefault("alpha2", 0.2)
+        overrides.setdefault("beta", 3)
     shared = {
         "epochs": args.epochs,
         "eval_step": 1,
