@@ -613,18 +613,32 @@ class Trainer:
         return self._eval_seen_cache
 
     def _approx_topk(self, scores, users, seen):
-        """Seen-excluded top-k WITHOUT the full-width mask scatter or the
-        exact row-wide sort: ``approx_max_k(k + slack)`` over the raw bf16
-        scores, then exclusion by membership on the tiny candidate set
-        (a user's seen items displace at most ``slack`` candidates, so k
-        real recommendations survive). Same ranking contract as the exact
-        path (reference `/root/reference/src/common/trainer.py:519-527`) up
-        to the approx recall; measured ~22x faster at [256, 1M]
-        (tools/probe_serving_1m.py)."""
+        """Seen-excluded top-k with ``approx_max_k`` ranking. Two
+        formulations, picked by the candidate slack:
+
+        - **postfilter** (small max seen-list): no full-width mask scatter —
+          take ``k + slack`` candidates from the RAW bf16 scores, exclude
+          seen by membership on the tiny candidate set (a user's seen items
+          displace at most ``slack`` candidates, so k real recommendations
+          survive). ~22x over exact at [256, 1M] with maxp=32
+          (tools/probe_serving_1m.py).
+        - **masked** (heavy-tailed seen lists): the postfilter's
+          O(B*(k+slack)*slack) membership test and the wide approx_max_k
+          blow up when slack is 10^3+ (measured 3x SLOWER than exact at
+          elec width, maxp~2k); instead scatter the -1e10 mask exactly as
+          the exact path does, then ``approx_max_k(k)`` replaces only the
+          expensive row-wide sort.
+
+        Same ranking contract as the exact path (reference
+        `/root/reference/src/common/trainer.py:519-527`) up to the approx
+        recall; exclusion is exact in both forms."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rows = seen[users]
-        kk = min(self.max_k + rows.shape[1], scores.shape[1])
+        slack = rows.shape[1]
+        if self.max_k + slack > max(256, scores.shape[1] // 64):
+            return self._approx_topk_masked(scores, rows)
+        kk = min(self.max_k + slack, scores.shape[1])
         mesh = self.mesh
         if mesh is not None and mesh.shape.get("data", 1) > 1:
             scores = jax.lax.with_sharding_constraint(
@@ -652,6 +666,40 @@ class Trainer:
         v = jnp.where(hit, -1e10, v)
         _, pos = jax.lax.top_k(v, self.max_k)
         return jnp.take_along_axis(i, pos, axis=1)
+
+    def _approx_topk_masked(self, scores, rows):
+        """Masked-approx form: the exact path's extended-column -1e10
+        scatter (exact exclusion), then ``approx_max_k`` for the ranking
+        only. ``rows`` is the [B, maxp] padded seen matrix (pad = n_items,
+        landing on the extra column)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        B = scores.shape[0]
+        ext = jnp.concatenate(
+            [scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
+        b = jnp.arange(B)[:, None]
+        ext = ext.at[b, rows].set(-1e10)
+        scores = ext[:, :-1]
+        mesh = self.mesh
+        m = mesh.shape.get("model", 1) if mesh is not None else 1
+        n_items = scores.shape[1]
+        pad = (-n_items) % m
+        if m > 1 and self.max_k <= (n_items + pad) // m:
+            from recommendar_systems_tpu.ops.topk import distributed_topk
+
+            s = scores.astype(jnp.bfloat16)
+            if pad:
+                s = jnp.pad(s, ((0, 0), (0, pad)),
+                            constant_values=jnp.finfo(s.dtype).min)
+            s = jax.lax.with_sharding_constraint(
+                s, NamedSharding(mesh, P(None, "model")))
+            _, i = distributed_topk(s, self.max_k, mesh, approx=True,
+                                    recall_target=self.eval_approx_recall)
+            return i
+        _, i = jax.lax.approx_max_k(
+            scores.astype(jnp.bfloat16), self.max_k,
+            recall_target=self.eval_approx_recall)
+        return i
 
     def _eval_cached_approx_impl(self, params, net_state, ctx, users, seen):
         ue, ie = self._eval_embeddings_impl(params, net_state, ctx)

@@ -135,6 +135,50 @@ def test_scan_path_non_cached_model(ds):
     assert np.isfinite(list(res.values())).all()
 
 
+def test_masked_variant_matches_exact(fitted):
+    """The heavy-tail formulation (_approx_topk_masked: exact -1e10 scatter
+    + approx_max_k ranking) must agree with the exact path on CPU (where
+    approx_max_k is exact) — exclusion exactness is structural."""
+    import jax
+    import jax.numpy as jnp
+
+    trainer, data = fitted
+    bundle = data.valid_eval
+    exact = _topk_all(trainer, bundle, approx=False)
+    seen = trainer._eval_seen()
+
+    def impl(params, net_state, ctx, users, seen):
+        ue, ie = trainer._eval_embeddings_impl(params, net_state, ctx)
+
+        def body(carry, u):
+            return carry, trainer._approx_topk_masked(ue[u] @ ie.T, seen[u])
+
+        _, topk = jax.lax.scan(body, 0, users)
+        return topk
+
+    topk = jax.jit(impl)(trainer.params, trainer.net_state, trainer.ctx,
+                         bundle.users, seen)
+    t = np.asarray(topk)
+    masked = np.concatenate(
+        [t[b, : bundle.n_valid[b]] for b in range(bundle.n_batches)], axis=0)
+    k = exact.shape[1]
+    overlap = np.mean([
+        len(np.intersect1d(exact[r], masked[r])) / k
+        for r in range(exact.shape[0])
+    ])
+    assert overlap >= 0.95, overlap
+    # exclusion is exact by construction
+    indptr = np.asarray(data.pos_indptr)
+    pos = np.asarray(data.pos_items)
+    users = np.concatenate([
+        np.asarray(bundle.users[b])[: bundle.n_valid[b]]
+        for b in range(bundle.n_batches)
+    ])
+    for r, u in enumerate(users):
+        s = pos[indptr[u]: indptr[u + 1]]
+        assert not np.intersect1d(masked[r], s).size
+
+
 def test_sharded_approx_eval(ds):
     """approx eval composes with the ('data','model') mesh via the
     distributed approx top-k (ops/topk.py)."""
