@@ -248,18 +248,9 @@ def _run_one(args, model_name: str) -> None:
     ev = data.valid_eval
     use_cached = getattr(type(model), "has_eval_embeddings", False)
 
-    def eval_pass():
-        if use_cached:
-            # single-dispatch path (propagation + scanned top-k fused);
-            # dispatch latency dominates eval wall time over the tunnel
-            return trainer._eval_cached_jit(
-                trainer.params, trainer.net_state, trainer.ctx,
-                ev.users, ev.mask_rows, ev.mask_items,
-            )
-        return trainer._eval_scan_jit(
-            trainer.params, trainer.net_state, trainer.ctx,
-            ev.users, ev.mask_rows, ev.mask_items,
-        )
+    # single-dispatch path (propagation + scanned top-k fused for cached-
+    # embedding models); dispatch latency dominates eval wall over the tunnel
+    eval_pass = trainer._eval_pass_fn(ev)
 
     np.asarray(eval_pass())  # compile + warm
     if args.profile_eval:
@@ -326,13 +317,9 @@ def _run_one(args, model_name: str) -> None:
     eval_ups_approx_band = None
     if not args.no_approx_eval:
         try:
-            afn = (trainer._eval_cached_approx_jit if use_cached
-                   else trainer._eval_scan_approx_jit)
-            seen = trainer._eval_seen()
-
-            def approx_pass():
-                return afn(trainer.params, trainer.net_state, trainer.ctx,
-                           ev.users, seen)
+            trainer.eval_approx = True
+            approx_pass = trainer._eval_pass_fn(ev)
+            trainer.eval_approx = False
 
             np.asarray(approx_pass())  # compile + warm
             atimes = []

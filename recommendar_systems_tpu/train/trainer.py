@@ -208,6 +208,8 @@ class Trainer:
         self._eval_cached_jit = jax.jit(self._eval_cached_impl)
         self._eval_cached_approx_jit = jax.jit(self._eval_cached_approx_impl)
         self._eval_scan_approx_jit = jax.jit(self._eval_scan_approx_impl)
+        self._eval_cached_amask_jit = jax.jit(self._eval_cached_amask_impl)
+        self._eval_scan_amask_jit = jax.jit(self._eval_scan_amask_impl)
         self._pre_epoch_jit = None
         if getattr(type(model), "has_pre_epoch", False):
             cfg_snapshot = dict(config.final_config) if hasattr(config, "final_config") else dict(config)
@@ -512,7 +514,13 @@ class Trainer:
         return params, opt_state, net_state, totals, parts
 
     # ------------------------------------------------------------- jitted eval
-    def _mask_and_topk(self, scores, mask_rows, mask_items):
+    def _mask_and_topk(self, scores, mask_rows, mask_items, approx=False):
+        """Masked seen-excluded top-k over the batch-local COO mask.
+        ``approx=True`` swaps ONLY the ranking primitive for
+        ``lax.approx_max_k`` (probe-backed: 2.4 ms vs 23.1 ms exact at
+        [4096, 63k], tools/probe_topk_width.py) — the -1e10 scatter and
+        therefore the exclusion semantics are identical to the exact
+        reference path (trainer.py:519-527)."""
         if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -527,6 +535,8 @@ class Trainer:
         # mask train positives with -1e10 (reference trainer.py:524)
         ext = ext.at[mask_rows, mask_items].set(-1e10)
         scores = ext[:, :-1]
+        if approx:
+            scores = scores.astype(jnp.bfloat16)
         m = self.mesh.shape.get("model", 1) if self.mesh is not None else 1
         n_items = scores.shape[1]
         pad = (-n_items) % m
@@ -546,7 +556,13 @@ class Trainer:
             scores = jax.lax.with_sharding_constraint(
                 scores, NamedSharding(self.mesh, P(None, "model"))
             )
-            _, topk_idx = distributed_topk(scores, self.max_k, self.mesh)
+            _, topk_idx = distributed_topk(
+                scores, self.max_k, self.mesh, approx=approx,
+                recall_target=self.eval_approx_recall,
+            )
+        elif approx:
+            _, topk_idx = jax.lax.approx_max_k(
+                scores, self.max_k, recall_target=self.eval_approx_recall)
         else:
             _, topk_idx = jax.lax.top_k(scores, self.max_k)
         return topk_idx
@@ -612,32 +628,30 @@ class Trainer:
             self._eval_seen_cache = jnp.asarray(seen)
         return self._eval_seen_cache
 
+    def _heavy_tail_eval(self) -> bool:
+        """True when the candidate-slack (postfilter) approx formulation
+        would lose to the masked one: the postfilter's padded seen matrix
+        is [n_users, maxp] (5.1 GB at elec shape, maxp=6600) and its
+        membership test is O(B*(k+maxp)*maxp) — measured 5x SLOWER than
+        exact at elec width, while mask-scatter + approx ranking is ~4x
+        FASTER (tools/probe_eval_width.py, probe_topk_width.py)."""
+        maxp = max(int(self.data.max_pos_len), 1)
+        return self.max_k + maxp > max(256, self.data.n_items // 64)
+
     def _approx_topk(self, scores, users, seen):
-        """Seen-excluded top-k with ``approx_max_k`` ranking. Two
-        formulations, picked by the candidate slack:
-
-        - **postfilter** (small max seen-list): no full-width mask scatter —
-          take ``k + slack`` candidates from the RAW bf16 scores, exclude
-          seen by membership on the tiny candidate set (a user's seen items
-          displace at most ``slack`` candidates, so k real recommendations
-          survive). ~22x over exact at [256, 1M] with maxp=32
-          (tools/probe_serving_1m.py).
-        - **masked** (heavy-tailed seen lists): the postfilter's
-          O(B*(k+slack)*slack) membership test and the wide approx_max_k
-          blow up when slack is 10^3+ (measured 3x SLOWER than exact at
-          elec width, maxp~2k); instead scatter the -1e10 mask exactly as
-          the exact path does, then ``approx_max_k(k)`` replaces only the
-          expensive row-wide sort.
-
-        Same ranking contract as the exact path (reference
-        `/root/reference/src/common/trainer.py:519-527`) up to the approx
-        recall; exclusion is exact in both forms."""
+        """Seen-excluded top-k WITHOUT the full-width mask scatter or the
+        exact row-wide sort: ``approx_max_k(k + slack)`` over the raw bf16
+        scores, then exclusion by membership on the tiny candidate set
+        (a user's seen items displace at most ``slack`` candidates, so k
+        real recommendations survive). Same ranking contract as the exact
+        path (reference `/root/reference/src/common/trainer.py:519-527`) up
+        to the approx recall; measured ~22x faster at [256, 1M] with
+        maxp=32 (tools/probe_serving_1m.py). For heavy-tailed seen lists
+        the masked formulation wins instead — see ``_heavy_tail_eval``."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rows = seen[users]
         slack = rows.shape[1]
-        if self.max_k + slack > max(256, scores.shape[1] // 64):
-            return self._approx_topk_masked(scores, rows)
         kk = min(self.max_k + slack, scores.shape[1])
         mesh = self.mesh
         if mesh is not None and mesh.shape.get("data", 1) > 1:
@@ -667,39 +681,33 @@ class Trainer:
         _, pos = jax.lax.top_k(v, self.max_k)
         return jnp.take_along_axis(i, pos, axis=1)
 
-    def _approx_topk_masked(self, scores, rows):
-        """Masked-approx form: the exact path's extended-column -1e10
-        scatter (exact exclusion), then ``approx_max_k`` for the ranking
-        only. ``rows`` is the [B, maxp] padded seen matrix (pad = n_items,
-        landing on the extra column)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    def _eval_cached_amask_impl(self, params, net_state, ctx, users,
+                                mask_rows, mask_items):
+        """Heavy-tail approx eval: identical to ``_eval_cached_impl`` —
+        same compact batch-local COO mask, same scatter — with
+        ``approx_max_k`` ranking only."""
+        ue, ie = self._eval_embeddings_impl(params, net_state, ctx)
 
-        B = scores.shape[0]
-        ext = jnp.concatenate(
-            [scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
-        b = jnp.arange(B)[:, None]
-        ext = ext.at[b, rows].set(-1e10)
-        scores = ext[:, :-1]
-        mesh = self.mesh
-        m = mesh.shape.get("model", 1) if mesh is not None else 1
-        n_items = scores.shape[1]
-        pad = (-n_items) % m
-        if m > 1 and self.max_k <= (n_items + pad) // m:
-            from recommendar_systems_tpu.ops.topk import distributed_topk
+        def body(carry, xs):
+            u, mr, mi = xs
+            return carry, self._mask_and_topk(ue[u] @ ie.T, mr, mi,
+                                              approx=True)
 
-            s = scores.astype(jnp.bfloat16)
-            if pad:
-                s = jnp.pad(s, ((0, 0), (0, pad)),
-                            constant_values=jnp.finfo(s.dtype).min)
-            s = jax.lax.with_sharding_constraint(
-                s, NamedSharding(mesh, P(None, "model")))
-            _, i = distributed_topk(s, self.max_k, mesh, approx=True,
-                                    recall_target=self.eval_approx_recall)
-            return i
-        _, i = jax.lax.approx_max_k(
-            scores.astype(jnp.bfloat16), self.max_k,
-            recall_target=self.eval_approx_recall)
-        return i
+        _, topk = jax.lax.scan(body, 0, (users, mask_rows, mask_items))
+        return topk
+
+    def _eval_scan_amask_impl(self, params, net_state, ctx, users, mask_rows,
+                              mask_items):
+        def body(carry, xs):
+            u, mr, mi = xs
+            variables = {"params": params}
+            if self.has_net_state:
+                variables["state"] = net_state
+            scores = self.model.apply(variables, ctx, u, method="full_scores")
+            return carry, self._mask_and_topk(scores, mr, mi, approx=True)
+
+        _, topk = jax.lax.scan(body, 0, (users, mask_rows, mask_items))
+        return topk
 
     def _eval_cached_approx_impl(self, params, net_state, ctx, users, seen):
         ue, ie = self._eval_embeddings_impl(params, net_state, ctx)
@@ -955,26 +963,35 @@ class Trainer:
         return self.best_valid_score, self.best_valid_result, self.best_test_upon_valid
 
     # ------------------------------------------------------------------ eval
-    def evaluate(self, bundle: EvalBundle, is_test: bool = False, idx: int = 0) -> Dict[str, float]:
-        use_cached_emb = getattr(type(self.model), "has_eval_embeddings", False)
+    def _eval_pass_fn(self, bundle: EvalBundle):
+        """Zero-arg callable running ONE jitted eval pass under the current
+        ``eval_approx`` setting — the single dispatch point for
+        ``evaluate()``, bench.py and the width probes. Approx mode picks
+        the postfilter or masked formulation host-side (see
+        ``_heavy_tail_eval``) so the heavy case never materializes the
+        padded seen matrix at all."""
+        use_cached = getattr(type(self.model), "has_eval_embeddings", False)
         if self.eval_approx:
-            fn = (self._eval_cached_approx_jit if use_cached_emb
+            if self._heavy_tail_eval():
+                fn = (self._eval_cached_amask_jit if use_cached
+                      else self._eval_scan_amask_jit)
+                return lambda: fn(
+                    self.params, self.net_state, self.ctx,
+                    bundle.users, bundle.mask_rows, bundle.mask_items)
+            fn = (self._eval_cached_approx_jit if use_cached
                   else self._eval_scan_approx_jit)
-            topk = fn(self.params, self.net_state, self.ctx, bundle.users,
-                      self._eval_seen())
-        elif use_cached_emb:
-            # one full-graph propagation per evaluation pass, reused by every
-            # user batch (the reference recomputes it per batch), fused with
-            # the scanned score/mask/top-k into a single dispatch
-            topk = self._eval_cached_jit(
-                self.params, self.net_state, self.ctx,
-                bundle.users, bundle.mask_rows, bundle.mask_items,
-            )
-        else:
-            topk = self._eval_scan_jit(
-                self.params, self.net_state, self.ctx,
-                bundle.users, bundle.mask_rows, bundle.mask_items,
-            )
+            seen = self._eval_seen()
+            return lambda: fn(self.params, self.net_state, self.ctx,
+                              bundle.users, seen)
+        fn = self._eval_cached_jit if use_cached else self._eval_scan_jit
+        return lambda: fn(self.params, self.net_state, self.ctx,
+                          bundle.users, bundle.mask_rows, bundle.mask_items)
+
+    def evaluate(self, bundle: EvalBundle, is_test: bool = False, idx: int = 0) -> Dict[str, float]:
+        # cached-embedding models run one full-graph propagation per pass,
+        # reused by every user batch (the reference recomputes it per
+        # batch), fused with the scanned score/mask/top-k into one dispatch
+        topk = self._eval_pass_fn(bundle)()
         topk_np = np.asarray(topk)  # [n_batches, B, k]; one host sync
         topk_all = np.concatenate(
             [topk_np[b, : bundle.n_valid[b]] for b in range(bundle.n_batches)],

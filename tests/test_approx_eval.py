@@ -51,17 +51,7 @@ def _topk_all(trainer, bundle, approx: bool):
     old = trainer.eval_approx
     trainer.eval_approx = approx
     try:
-        if approx:
-            use_cached = getattr(type(trainer.model), "has_eval_embeddings",
-                                 False)
-            fn = (trainer._eval_cached_approx_jit if use_cached
-                  else trainer._eval_scan_approx_jit)
-            topk = fn(trainer.params, trainer.net_state, trainer.ctx,
-                      bundle.users, trainer._eval_seen())
-        else:
-            topk = trainer._eval_cached_jit(
-                trainer.params, trainer.net_state, trainer.ctx,
-                bundle.users, bundle.mask_rows, bundle.mask_items)
+        topk = trainer._eval_pass_fn(bundle)()
     finally:
         trainer.eval_approx = old
     t = np.asarray(topk)
@@ -136,28 +126,16 @@ def test_scan_path_non_cached_model(ds):
 
 
 def test_masked_variant_matches_exact(fitted):
-    """The heavy-tail formulation (_approx_topk_masked: exact -1e10 scatter
-    + approx_max_k ranking) must agree with the exact path on CPU (where
-    approx_max_k is exact) — exclusion exactness is structural."""
-    import jax
-    import jax.numpy as jnp
-
+    """The heavy-tail formulation (_eval_cached_amask_impl: the exact
+    path's COO-mask -1e10 scatter + approx_max_k ranking) must agree with
+    the exact path on CPU (where approx_max_k is exact) — exclusion
+    exactness is structural."""
     trainer, data = fitted
     bundle = data.valid_eval
     exact = _topk_all(trainer, bundle, approx=False)
-    seen = trainer._eval_seen()
-
-    def impl(params, net_state, ctx, users, seen):
-        ue, ie = trainer._eval_embeddings_impl(params, net_state, ctx)
-
-        def body(carry, u):
-            return carry, trainer._approx_topk_masked(ue[u] @ ie.T, seen[u])
-
-        _, topk = jax.lax.scan(body, 0, users)
-        return topk
-
-    topk = jax.jit(impl)(trainer.params, trainer.net_state, trainer.ctx,
-                         bundle.users, seen)
+    topk = trainer._eval_cached_amask_jit(
+        trainer.params, trainer.net_state, trainer.ctx,
+        bundle.users, bundle.mask_rows, bundle.mask_items)
     t = np.asarray(topk)
     masked = np.concatenate(
         [t[b, : bundle.n_valid[b]] for b in range(bundle.n_batches)], axis=0)

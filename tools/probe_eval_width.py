@@ -82,20 +82,17 @@ def main() -> None:
 
     ev = data.valid_eval
     total_users = int(ev.n_valid.sum())
-    seen = trainer._eval_seen()
-    maxp = int(seen.shape[1])
+    maxp = max(int(data.max_pos_len), 1)
+    heavy = trainer._heavy_tail_eval()
     use_cached = getattr(cls, "has_eval_embeddings", False)
     print(f"# {args.model} {args.users}u/{args.items}i maxp={maxp} "
-          f"eval_users={total_users} cached={use_cached}", flush=True)
+          f"eval_users={total_users} cached={use_cached} heavy={heavy}",
+          flush=True)
 
-    def exact_pass():
-        return trainer._eval_cached_jit(
-            trainer.params, trainer.net_state, trainer.ctx,
-            ev.users, ev.mask_rows, ev.mask_items)
-
-    def approx_pass():
-        return trainer._eval_cached_approx_jit(
-            trainer.params, trainer.net_state, trainer.ctx, ev.users, seen)
+    exact_pass = trainer._eval_pass_fn(ev)
+    trainer.eval_approx = True
+    approx_pass = trainer._eval_pass_fn(ev)
+    trainer.eval_approx = False
 
     results = {}
     for label, fn in (("exact", exact_pass), ("approx", approx_pass)):
@@ -118,18 +115,35 @@ def main() -> None:
         out, _ = jax.lax.scan(body, jnp.int32(0), xs)
         return out
 
-    def rep_approx(params, net_state, ctx, users, seen, xs):
-        def body(c, x):
-            t = trainer._eval_cached_approx_impl(
-                params, net_state, ctx, jnp.roll(users, x, axis=0), seen)
-            return c + t.sum(), None
-        out, _ = jax.lax.scan(body, jnp.int32(0), xs)
-        return out
+    if heavy:
+        def rep_approx(params, net_state, ctx, users, mr, mi, xs):
+            def body(c, x):
+                t = trainer._eval_cached_amask_impl(
+                    params, net_state, ctx, jnp.roll(users, x, axis=0),
+                    jnp.roll(mr, x, axis=0), jnp.roll(mi, x, axis=0))
+                return c + t.sum(), None
+            out, _ = jax.lax.scan(body, jnp.int32(0), xs)
+            return out
+
+        approx_extra = (ev.users, ev.mask_rows, ev.mask_items)
+    else:
+        seen = trainer._eval_seen()
+
+        def rep_approx(params, net_state, ctx, users, seen_, xs):
+            def body(c, x):
+                t = trainer._eval_cached_approx_impl(
+                    params, net_state, ctx, jnp.roll(users, x, axis=0),
+                    seen_)
+                return c + t.sum(), None
+            out, _ = jax.lax.scan(body, jnp.int32(0), xs)
+            return out
+
+        approx_extra = (ev.users, seen)
 
     r1, r2 = 2, 8
     for label, rep, extra in (
         ("exact", rep_exact, (ev.users, ev.mask_rows, ev.mask_items)),
-        ("approx", rep_approx, (ev.users, seen)),
+        ("approx", rep_approx, approx_extra),
     ):
         try:
             rj = jax.jit(rep)
@@ -150,7 +164,8 @@ def main() -> None:
 
     row = {
         "probe": "eval_width", "model": args.model, "users": args.users,
-        "items": args.items, "maxp": maxp, "eval_users": total_users,
+        "items": args.items, "maxp": maxp, "heavy": heavy,
+        "eval_users": total_users,
         **results,
     }
     print(json.dumps(row))
