@@ -531,12 +531,16 @@ class Trainer:
                 scores, NamedSharding(self.mesh, P("data", None))
             )
         B = scores.shape[0]
+        if approx:
+            # ranking happens in bf16 anyway — cast BEFORE the extended-
+            # column concat + scatter so the two full-width copies move
+            # half the bytes (the mask pass is bandwidth-bound at catalog
+            # width)
+            scores = scores.astype(jnp.bfloat16)
         ext = jnp.concatenate([scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
         # mask train positives with -1e10 (reference trainer.py:524)
         ext = ext.at[mask_rows, mask_items].set(-1e10)
         scores = ext[:, :-1]
-        if approx:
-            scores = scores.astype(jnp.bfloat16)
         m = self.mesh.shape.get("model", 1) if self.mesh is not None else 1
         n_items = scores.shape[1]
         pad = (-n_items) % m
