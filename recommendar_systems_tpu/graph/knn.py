@@ -33,9 +33,13 @@ def build_sim_topk(
     f = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
     n = f.shape[0]
 
+    # the full feature matrix rides as a jit ARGUMENT: as a closure
+    # constant it inlines into the axon remote-compile request, which the
+    # tunnel rejects past ~100s of MB (1 GB at elec's 63k x 4096 — the
+    # same wall documented for serving tables in CLAUDE.md)
     @jax.jit
-    def one_block(fb):
-        sim = fb @ f.T  # [block, n]
+    def one_block(fb, fullf):
+        sim = fb @ fullf.T  # [block, n]
         val, idx = jax.lax.top_k(sim, k)
         return idx.astype(jnp.int32), val
 
@@ -44,7 +48,7 @@ def build_sim_topk(
         fb = jax.lax.dynamic_slice_in_dim(f, min(start, max(n - block, 0)), min(block, n))
         if n <= block:
             fb = f
-        i, v = one_block(fb)
+        i, v = one_block(fb, f)
         if start + block > n and n > block:
             # the last block was shifted back to keep a static shape; trim overlap
             overlap = start + block - n
