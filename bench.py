@@ -211,11 +211,16 @@ def _run_one(args, model_name: str) -> None:
     trainer = Trainer(cfg, model, ctx, data)
     trainer.init_state(0)
 
-    # warm-up epoch (compile)
+    # warm-up epoch (compile); steps_per_dispatch= in --config bounds the
+    # single-dispatch scan length (the tunnel kills ~90 s dispatches at
+    # catalog scale — PARITY.md elec notes)
+    epoch_fn = (trainer._train_epoch_chunked
+                if 0 < trainer.steps_per_dispatch < trainer.n_steps
+                else trainer._train_epoch_jit)
     print("# bench: warm-up epoch (compile)", flush=True)
     key = jax.random.key(1)
     key, k0 = jax.random.split(key)
-    out = trainer._train_epoch_jit(
+    out = epoch_fn(
         trainer.params, trainer.opt_state, trainer.net_state, trainer.ctx,
         trainer._data_arrays(), k0
     )
@@ -231,7 +236,7 @@ def _run_one(args, model_name: str) -> None:
     t0 = time.time()
     for _ in range(args.epochs):
         key, ke = jax.random.split(key)
-        out = trainer._train_epoch_jit(
+        out = epoch_fn(
             trainer.params, trainer.opt_state, trainer.net_state, trainer.ctx,
             trainer._data_arrays(), ke
         )
@@ -341,9 +346,12 @@ def _run_one(args, model_name: str) -> None:
         try:
             mg_trainer = Trainer(cfg, model, ctx, data, mg=True)
             mg_trainer.init_state(0)
+            mg_epoch_fn = (mg_trainer._train_epoch_chunked
+                           if 0 < mg_trainer.steps_per_dispatch < mg_trainer.n_steps
+                           else mg_trainer._train_epoch_jit)
             kmg = jax.random.key(7)
             kmg, k0 = jax.random.split(kmg)
-            out = mg_trainer._train_epoch_jit(
+            out = mg_epoch_fn(
                 mg_trainer.params, mg_trainer.opt_state, mg_trainer.net_state,
                 mg_trainer.ctx, mg_trainer._data_arrays(), k0)
             mg_trainer.params, mg_trainer.opt_state, mg_trainer.net_state = (
@@ -352,7 +360,7 @@ def _run_one(args, model_name: str) -> None:
             tmg = time.time()
             for _ in range(args.epochs):
                 kmg, ke = jax.random.split(kmg)
-                out = mg_trainer._train_epoch_jit(
+                out = mg_epoch_fn(
                     mg_trainer.params, mg_trainer.opt_state,
                     mg_trainer.net_state, mg_trainer.ctx,
                     mg_trainer._data_arrays(), ke)
