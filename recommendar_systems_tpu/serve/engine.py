@@ -142,11 +142,17 @@ class ServingEngine:
 
     @staticmethod
     def _mask_topk(scores: jnp.ndarray, rows: jnp.ndarray, k: int):
-        B = scores.shape[0]
-        ext = jnp.concatenate([scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
+        # scatter-MIN masking: pad slots (item id == n_items) clamp to the
+        # last column and scatter +inf, a no-op under min — avoids the
+        # extended-column concat + trailing-slice full-width copies
+        # (min(score, NEG) == NEG for any real score, identical to set)
+        B, n_cols = scores.shape
         b = jnp.arange(B)[:, None]
-        ext = ext.at[b, rows].set(NEG)
-        return jax.lax.top_k(ext[:, :-1], k)
+        pad = rows >= n_cols
+        vals = jnp.where(pad, jnp.inf, NEG).astype(scores.dtype)
+        idx = jnp.minimum(rows, n_cols - 1)
+        scores = scores.at[b, idx].min(vals)
+        return jax.lax.top_k(scores, k)
 
     def _topk_fn(self, k: int, exclude: bool, B: int, approx: bool = False):
         key = ("topk", k, exclude, B, approx, self._mesh is not None,
@@ -480,12 +486,10 @@ class ServingEngine:
             rows = (seen[users] if exclude
                     else jnp.full((users.shape[0], 1), n_items,
                                   dtype=jnp.int32))
-            B = scores.shape[0]
-            ext = jnp.concatenate([scores, jnp.zeros((B, 1), scores.dtype)],
-                                  axis=1)
-            b = jnp.arange(B)[:, None]
-            ext = ext.at[b, rows].set(NEG)
-            scores = ext[:, :-1]
+            b = jnp.arange(scores.shape[0])[:, None]
+            is_pad = rows >= n_items
+            vals = jnp.where(is_pad, jnp.inf, NEG).astype(scores.dtype)
+            scores = scores.at[b, jnp.minimum(rows, n_items - 1)].min(vals)
             if pad:
                 scores = jnp.pad(scores, ((0, 0), (0, pad)),
                                  constant_values=jnp.finfo(scores.dtype).min)

@@ -530,17 +530,23 @@ class Trainer:
             scores = jax.lax.with_sharding_constraint(
                 scores, NamedSharding(self.mesh, P("data", None))
             )
-        B = scores.shape[0]
         if approx:
-            # ranking happens in bf16 anyway — cast BEFORE the extended-
-            # column concat + scatter so the two full-width copies move
-            # half the bytes (the mask pass is bandwidth-bound at catalog
-            # width)
+            # ranking happens in bf16 anyway — cast BEFORE the scatter so
+            # the full-width mask pass moves half the bytes (it is
+            # bandwidth-bound at catalog width)
             scores = scores.astype(jnp.bfloat16)
-        ext = jnp.concatenate([scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
-        # mask train positives with -1e10 (reference trainer.py:524)
-        ext = ext.at[mask_rows, mask_items].set(-1e10)
-        scores = ext[:, :-1]
+        # mask train positives with -1e10 (reference trainer.py:524) via
+        # scatter-MIN: pad entries (item id == n_items) clamp to the last
+        # column and scatter +inf, which min() makes a no-op — no extended
+        # column, so the concat + trailing-slice full-width copies of the
+        # ext-column formulation disappear (two ~0.5 GB passes per batch
+        # at elec width). min(score, -1e10) == -1e10 for any real score
+        # (identical to the reference's set).
+        n_cols = scores.shape[1]
+        pad = mask_items >= n_cols
+        vals = jnp.where(pad, jnp.inf, -1e10).astype(scores.dtype)
+        idx = jnp.minimum(mask_items, n_cols - 1)
+        scores = scores.at[mask_rows, idx].min(vals)
         m = self.mesh.shape.get("model", 1) if self.mesh is not None else 1
         n_items = scores.shape[1]
         pad = (-n_items) % m
