@@ -109,7 +109,7 @@ def build_norm_adj(
     if (
         dense is not False
         and (factored is None or factored)
-        and use_bit_adj(n_users, n_items)
+        and use_bit_adj(n_users, n_items, nnz=len(u))
     ):
         # bit-packed storage reaches past the f32 densify threshold (the
         # bits are 32x smaller), so large catalogs stay on the MXU path
@@ -231,7 +231,7 @@ def build_mean_adj(
     with np.errstate(divide="ignore"):
         d_inv = np.where(deg > 0, 1.0 / deg, 0.0)
     vals = d_inv[rows].astype(np.float32)
-    if dense is not False and use_bit_adj(n_users, n_items):
+    if dense is not False and use_bit_adj(n_users, n_items, nnz=len(u)):
         packed = _pack_from_edges(u, i, n_users, n_items)
         if packed is not None:
             from recommendar_systems_tpu.ops.bitbip import pad_cols

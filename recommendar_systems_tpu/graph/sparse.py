@@ -423,12 +423,34 @@ def set_bit_adj(mode: bool | str) -> None:
     _BIT_ADJ = mode
 
 
-def use_bit_adj(n_rows: int, n_cols: int) -> bool:
+# bit matmuls do slot-proportional work while COO does edge-proportional
+# work, so very sparse catalogs can favor COO (the round-5 SMORE-at-elec
+# trace: 192-wide bit lifts at 0.012% density — PARITY.md).  The floor is
+# a tuning knob, default 0.0 = current behavior (no density gating):
+# whether bits win at a given density also depends on column width and
+# layer count, so the default stays measurement-driven per workload.
+_BIT_DENSITY_FLOOR = 0.0
+
+
+def set_bit_density_floor(frac: float) -> None:
+    """Minimum nnz/(rows*cols) for "auto" to pick bit storage (when the
+    caller supplies nnz).  0 disables density gating (default)."""
+    global _BIT_DENSITY_FLOOR
+    _BIT_DENSITY_FLOOR = float(frac)
+
+
+def use_bit_adj(n_rows: int, n_cols: int, nnz: int | None = None) -> bool:
     """Should this adjacency use bit-packed storage?  See module comment."""
     if _BIT_ADJ is False or not bit_ok(n_rows, n_cols):
         return False
     if _BIT_ADJ is True:
         return True
+    if (
+        _BIT_DENSITY_FLOOR > 0.0
+        and nnz is not None
+        and nnz < _BIT_DENSITY_FLOOR * n_rows * n_cols
+    ):
+        return False
     return jax.default_backend() != "cpu" and not dense_ok(n_rows, n_cols)
 
 

@@ -97,6 +97,13 @@ def quick_start(
 
         v = config["bit_adj"]
         set_bit_adj(v if v == "auto" else bool(v))
+    # optional density gate for "auto": slot-proportional bit matmuls can
+    # lose to edge-proportional COO on very sparse catalogs (PARITY.md
+    # SMORE-at-elec trace); 0/unset keeps the ungated default
+    if config.get("bit_density_floor"):
+        from recommendar_systems_tpu.graph.sparse import set_bit_density_floor
+
+        set_bit_density_floor(float(config["bit_density_floor"]))
 
     # u-i propagation kernel on factored int8 storage: "xla" (default;
     # measured faster on v5e) or "pallas" (ops/fused_bip.py)

@@ -164,3 +164,22 @@ def test_padded_space_roundtrip():
     want = gs.spmm(bit, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bit_density_floor_gates_auto(monkeypatch):
+    """The optional density floor only affects "auto": below-floor
+    catalogs fall back to COO/sparse; forced True ignores the floor
+    (bit_density_floor config knob; PARITY.md SMORE-at-elec trace note)."""
+    gs.set_bit_adj("auto")
+    gs.set_bit_density_floor(0.5)  # 200 edges / (40*30) = 0.167 < 0.5
+    try:
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(gs, "dense_ok", lambda r, c: False)
+        assert not gs.use_bit_adj(40, 30, nnz=200)
+        assert gs.use_bit_adj(40, 30, nnz=800)   # 0.67 >= 0.5
+        assert gs.use_bit_adj(40, 30)            # no nnz -> ungated
+        gs.set_bit_adj(True)
+        assert gs.use_bit_adj(40, 30, nnz=1)     # force wins
+    finally:
+        gs.set_bit_density_floor(0.0)
+        gs.set_bit_adj("auto")
