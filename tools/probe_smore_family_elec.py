@@ -1,5 +1,15 @@
+"""Warm 4-step single-chunk device probe for SMORE-family models at elec
+shape — the measurement behind PARITY.md's round-5 elec attribution
+(device-clean s/step, optional one-chunk profiler trace).
+
+Usage: [GRAFT_BIT_ADJ=false] [GRAFT_SKIP_TRACE=1] \
+       python tools/probe_smore_family_elec.py [SMORE|SMOREDiff|...]
+"""
+
 import sys, time
-sys.path.insert(0, '/root/repo')
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax
 
