@@ -22,12 +22,14 @@ def main() -> None:
     p.add_argument("models", nargs="+")
     p.add_argument("--timeout", type=int, default=540)
     p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--extra", nargs="*", default=[],
+                   help="extra bench.py flags, e.g. --extra --no-mg")
     p.add_argument("--out", default=os.path.join(ROOT, "analysis/tpu_model_matrix.jsonl"))
     args = p.parse_args()
 
     for name in args.models:
         cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
-               "--model", name, "--epochs", str(args.epochs)]
+               "--model", name, "--epochs", str(args.epochs)] + args.extra
         print(f"== {name}", flush=True)
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
