@@ -145,3 +145,53 @@ def jax_tree_keys(tree):
 
     walk(tree)
     return keys
+
+
+def test_edge_user_pools_vectorized_matches_loop():
+    """The vectorized hard-negative pool builder must be BIT-IDENTICAL to
+    the reference-order Python loop it replaced (the loop is the oracle
+    here; its order/cap semantics mirror smorediff.py:155-177)."""
+    import numpy as np
+
+    from recommendar_systems_tpu.models.smorediff import _edge_user_pools
+
+    rng = np.random.default_rng(7)
+    for trial, (n_users, n_items, nnz, L0, cap) in enumerate([
+        (40, 60, 300, 5, 8),
+        (25, 30, 200, 3, 4),
+        (10, 500, 80, 50, 20),
+        (17, 12, 60, 4, 1000),   # cap never reached
+        (8, 9, 0, 4, 8),         # no interactions
+        (30, 40, 250, 50, 12),   # L0 wider than the kNN matrix
+    ]):
+        if nnz:
+            u = rng.integers(0, n_users, nnz)
+            i = rng.integers(0, n_items, nnz)
+            keys = np.unique(u.astype(np.int64) * n_items + i)
+            pu, pi = keys // n_items, keys % n_items
+        else:
+            pu = pi = np.zeros(0, np.int64)
+        indptr = np.zeros(n_users + 1, np.int64)
+        np.cumsum(np.bincount(pu, minlength=n_users), out=indptr[1:])
+        pos_sorted = pi.astype(np.int64)
+        knn_sorted = rng.integers(0, n_items, size=(n_items, min(max(L0, 2), 6)))
+
+        # oracle: the original loop
+        pos_sets = [set(pos_sorted[indptr[x]: indptr[x + 1]].tolist())
+                    for x in range(n_users)]
+        expect = []
+        for x in range(n_users):
+            cands, seen = [], set()
+            for ip in pos_sorted[indptr[x]: indptr[x + 1]]:
+                for j in knn_sorted[ip, :L0]:
+                    j = int(j)
+                    if j not in pos_sets[x] and j not in seen:
+                        seen.add(j)
+                        cands.append(j)
+                if len(cands) >= cap:
+                    break
+            expect.append(cands)
+
+        got = _edge_user_pools(indptr, pos_sorted, knn_sorted, L0, cap,
+                               n_items)
+        assert got == expect, f"trial {trial}: mismatch"
